@@ -1,16 +1,17 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh with x64 enabled.
 
-Must set env vars before jax is imported anywhere.
+The environment's sitecustomize registers the axon TPU plugin and forces
+jax_platforms programmatically, so the JAX_PLATFORMS env var alone is not
+enough — we must override via jax.config before any backend is touched.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
