@@ -1,0 +1,72 @@
+"""Headline benchmark: banded-mode resquiggling throughput (reads/s).
+
+Workload: synthetic RNA002 reads shaped like production data (~1.8k bases,
+mean dwell 9 -> T ~= 16k samples), segmented end-to-end through the batched
+banded engine (host prep + device DP + native traceback), fp32.
+
+Baseline: the reference C++ `dynamont-NT-banded -t 1` measured on identical
+synthetic reads on this machine's host CPU: 1.35 s/read median => 0.74
+reads/s (3 reads, T~=16.2k, N=1810, band 403; see BASELINE.md measurement
+protocol). vs_baseline = our reads/s / 0.74.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REF_READS_PER_S = 0.74  # single-core reference C++, same workload (see above)
+
+N_READS = 32
+N_BASES = 1800
+MEAN_DWELL = 9.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dynamont_tpu.models.batch import BandedBatchEngine, BatchItem
+    from dynamont_tpu.models.registry import load_model_for_pore
+    from dynamont_tpu.utils.synthetic import make_read
+
+    model = load_model_for_pore("rna002")
+    items = [
+        BatchItem(*make_read(model, n_bases=N_BASES, mean_dwell=MEAN_DWELL, seed=s))
+        for s in range(N_READS)
+    ]
+    total_samples = sum(len(it.signal) for it in items)
+    eng = BandedBatchEngine(
+        model, "rna002", dtype=jnp.float32, batch_size=16,
+        max_batch_samples=2**22, t_pad_to=2048,
+    )
+
+    # warmup: compile every bucket shape
+    warm = eng.run(items[:N_READS])
+    n_err = sum(1 for o in warm if o.error is not None)
+    if n_err:
+        print(f"warmup errors: {n_err}/{len(warm)}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    outs = eng.run(items)
+    dt = time.perf_counter() - t0
+    n_ok = sum(1 for o in outs if o.error is None)
+    reads_per_s = n_ok / dt
+    print(
+        f"segmented {n_ok}/{len(outs)} reads in {dt:.2f}s "
+        f"({total_samples/dt/1e6:.1f}M samples/s, device={jax.devices()[0].platform})",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "banded_resquiggle_throughput",
+        "value": round(reads_per_s, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / REF_READS_PER_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Batched banded segmentation engine — groups reads into padded buckets and
+runs the jitted banded DP once per bucket shape (the TPU production path;
+replaces the reference's one-process-per-read design, ref: segment.py:292-317).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamont_tpu.constants import NT_TRANSITIONS, resolve_transitions
+from dynamont_tpu.models.nt import _validate
+from dynamont_tpu.ops import nt_banded_batch as bb
+from dynamont_tpu.utils.kmer import seq_to_kmer_ids
+from dynamont_tpu.utils.pore_model import PoreModel
+from dynamont_tpu import native
+
+
+@dataclass
+class BatchItem:
+    """One read prepared for the DP (already normalized/filtered/oriented)."""
+
+    signal: np.ndarray
+    read: str
+    meta: object = None  # carried through untouched (read id, signal id, ...)
+
+
+@dataclass
+class BatchOutput:
+    item: BatchItem
+    segments: list | None  # None => failed read
+    Z: float
+    error: str | None = None
+
+
+class BandedBatchEngine:
+    """Runs banded segmentation over arbitrary read lists.
+
+    Reads are bucketed by padded (T_pad, batch) shape so XLA compiles a small
+    number of programs; each bucket executes as one device launch, and the
+    host traceback for launch i overlaps the device compute of launch i+1
+    (dispatch is async until the output arrays are materialized).
+    """
+
+    def __init__(
+        self,
+        model: PoreModel,
+        pore: str,
+        transition_overrides: dict | None = None,
+        band: int = 400,
+        dtype=jnp.float32,
+        batch_size: int = 16,
+        max_batch_samples: int = 4_000_000,
+        t_pad_to: int = 512,
+    ):
+        self.model = model
+        self.pore = pore
+        trans = resolve_transitions(NT_TRANSITIONS[pore], transition_overrides)
+        self.m1, self.e2 = trans["m1"], trans["e2"]
+        self.band = band
+        self.dtype = dtype
+        self.batch_size = batch_size
+        self.max_batch_samples = max_batch_samples
+        self.t_pad_to = t_pad_to
+        self._run = bb.make_banded_batch_fn(self.m1, self.e2)
+
+    # -- batching ----------------------------------------------------------
+    def _buckets(self, items: list[BatchItem]):
+        """Group by padded T so each group hits one compiled shape; cap both
+        read count and total padded samples per launch (HBM: the posterior +
+        choice tensors are the footprint)."""
+        order = sorted(range(len(items)), key=lambda i: len(items[i].signal))
+        group: list[int] = []
+        for idx in order:
+            if group:
+                t_pad = bb.round_up(len(items[idx].signal) + 1, self.t_pad_to)
+                if (
+                    len(group) >= self.batch_size
+                    or t_pad * (len(group) + 1) > self.max_batch_samples
+                ):
+                    yield group
+                    group = []
+            group.append(idx)
+        if group:
+            yield group
+
+    # -- execution ---------------------------------------------------------
+    def run(self, items: list[BatchItem]) -> list[BatchOutput]:
+        outputs: list[BatchOutput | None] = [None] * len(items)
+        valid: list[int] = []
+        for i, it in enumerate(items):
+            err = self._validate(it)
+            if err is not None:
+                outputs[i] = BatchOutput(it, None, math.nan, err)
+            else:
+                valid.append(i)
+        for group in self._buckets([items[i] for i in valid]):
+            gidx = [valid[g] for g in group]
+            self._run_bucket([items[i] for i in gidx], gidx, outputs)
+        return outputs  # type: ignore[return-value]
+
+    def _validate(self, it: BatchItem) -> str | None:
+        try:
+            _validate(len(it.signal), len(it.read), self.model.kmer_size)
+        except SystemExit as e:
+            return f"input validation failed (reference exit {e.code})"
+        return None
+
+    def _run_bucket(self, its: list[BatchItem], gidx, outputs):
+        kmer_ids = [
+            seq_to_kmer_ids(it.read, self.model.kmer_size, self.model.alphabet_size)
+            for it in its
+        ]
+        batch = bb.prepare_batch(
+            [it.signal for it in its], kmer_ids,
+            self.model.means, self.model.stdevs,
+            band=self.band, dtype=self.dtype, t_pad_to=self.t_pad_to,
+        )
+        res = self._run(batch)
+        Zf = np.asarray(res.Zf, dtype=np.float64)
+        Zb = np.asarray(res.Zb, dtype=np.float64)
+        T = np.asarray(batch.T)
+        N = np.asarray(batch.N)
+        bw = np.asarray(batch.bw)
+        ok = bb.check_z_batch(Zf, Zb, T, batch.B, self.dtype)
+        seg_lists = native.banded_traceback_batch(
+            np.asarray(res.choices), np.asarray(res.PM), np.asarray(res.PE),
+            np.asarray(batch.bstart), T, N, bw, self.model.kmer_size,
+        )
+        for j, out_i in enumerate(gidx):
+            if not ok[j]:
+                outputs[out_i] = BatchOutput(
+                    its[j], None, float(Zb[j]),
+                    f"Z values between matrices do not match! Zf: {Zf[j]}, Zb: {Zb[j]}",
+                )
+            else:
+                outputs[out_i] = BatchOutput(its[j], seg_lists[j], float(Zb[j]))
