@@ -26,8 +26,15 @@ MEAN_DWELL = 9.0
 
 
 def main() -> None:
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from dynamont_tpu.models.batch import BandedBatchEngine, BatchItem
     from dynamont_tpu.models.registry import load_model_for_pore

@@ -15,6 +15,7 @@ import numpy as np
 from dynamont_tpu.constants import NT_TRANSITIONS, resolve_transitions
 from dynamont_tpu.models.nt import _validate
 from dynamont_tpu.ops import nt_banded_batch as bb
+from dynamont_tpu.ops import nt_banded_device as dv
 from dynamont_tpu.utils.kmer import seq_to_kmer_ids
 from dynamont_tpu.utils.pore_model import PoreModel
 from dynamont_tpu import native
@@ -56,6 +57,8 @@ class BandedBatchEngine:
         batch_size: int = 16,
         max_batch_samples: int = 4_000_000,
         t_pad_to: int = 512,
+        device_pipeline: bool = True,
+        hampel_on_device: bool = False,
     ):
         self.model = model
         self.pore = pore
@@ -66,7 +69,15 @@ class BandedBatchEngine:
         self.batch_size = batch_size
         self.max_batch_samples = max_batch_samples
         self.t_pad_to = t_pad_to
-        self._run = bb.make_banded_batch_fn(self.m1, self.e2)
+        self.device_pipeline = device_pipeline
+        if device_pipeline:
+            means, c1, c2 = model.score_params()
+            self._dev_run = dv.make_device_fn(
+                self.m1, self.e2, means, c1, c2, dtype=dtype,
+                hampel=hampel_on_device,
+            )
+        else:
+            self._run = bb.make_banded_batch_fn(self.m1, self.e2)
 
     # -- batching ----------------------------------------------------------
     def _buckets(self, items: list[BatchItem]):
@@ -98,10 +109,53 @@ class BandedBatchEngine:
                 outputs[i] = BatchOutput(it, None, math.nan, err)
             else:
                 valid.append(i)
-        for group in self._buckets([items[i] for i in valid]):
-            gidx = [valid[g] for g in group]
-            self._run_bucket([items[i] for i in gidx], gidx, outputs)
+        if self.device_pipeline:
+            # phase 1: dispatch every bucket (async); phase 2: collect —
+            # JAX async dispatch overlaps H2D/compute/D2H across buckets
+            pending = []
+            for group in self._buckets([items[i] for i in valid]):
+                gidx = [valid[g] for g in group]
+                pending.append(self._dispatch_bucket([items[i] for i in gidx], gidx))
+            for bucket in pending:
+                self._collect_bucket(bucket, outputs)
+        else:
+            for group in self._buckets([items[i] for i in valid]):
+                gidx = [valid[g] for g in group]
+                self._run_bucket([items[i] for i in gidx], gidx, outputs)
         return outputs  # type: ignore[return-value]
+
+    def _dispatch_bucket(self, its: list[BatchItem], gidx):
+        kmer_ids = [
+            seq_to_kmer_ids(it.read, self.model.kmer_size, self.model.alphabet_size)
+            for it in its
+        ]
+        wire = dv.prepare_wire(
+            [it.signal for it in its], kmer_ids, band=self.band,
+            t_pad_to=self.t_pad_to,
+        )
+        res = self._dev_run(wire)
+        return its, gidx, wire, res
+
+    def _collect_bucket(self, bucket, outputs):
+        its, gidx, wire, res = bucket
+        Zf = np.asarray(res.Zf, dtype=np.float64)
+        Zb = np.asarray(res.Zb, dtype=np.float64)
+        starts = np.asarray(res.starts)
+        medians = np.asarray(res.medians)
+        T = np.asarray(wire.T)
+        N = np.asarray(wire.N)
+        ok = bb.check_z_batch(Zf, Zb, T, wire.B, self.dtype)
+        for j, out_i in enumerate(gidx):
+            if not ok[j]:
+                outputs[out_i] = BatchOutput(
+                    its[j], None, float(Zb[j]),
+                    f"Z values between matrices do not match! Zf: {Zf[j]}, Zb: {Zb[j]}",
+                )
+            else:
+                segs = dv.summaries_to_segments(
+                    starts[j], medians[j], int(N[j]), self.model.kmer_size
+                )
+                outputs[out_i] = BatchOutput(its[j], segs, float(Zb[j]))
 
     def _validate(self, it: BatchItem) -> str | None:
         try:

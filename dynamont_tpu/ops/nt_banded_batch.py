@@ -166,8 +166,13 @@ def _valid_mask(j_iota, bs, bw, N, lower_from_one: bool):
 def _forward_single(batch: BandedBatch, log_m1, log_e2, idx_dtype=jnp.int32):
     """Forward pass for one (padded) read; returns (M, E) of shape (T_pad, B).
 
-    Rows past the true T are garbage (never read: Z and traceback index by the
-    true T). Written to be vmapped over the batch dimension.
+    The emission-parameter band window slides by at most one position per
+    step, so instead of a dynamic slice per step (slow inside TPU while
+    loops) the window rides in the scan carry and the single entering
+    element per step is bulk-gathered outside the scan.
+
+    Rows past the true T are garbage (never read: Z and traceback index by
+    the true T). Written to be vmapped over the batch dimension.
     """
 
     def fn(sig, mu_pad, c1_pad, c2_pad, bstart, bw, N):
@@ -175,11 +180,24 @@ def _forward_single(batch: BandedBatch, log_m1, log_e2, idx_dtype=jnp.int32):
         dtype = sig.dtype
         j_iota = jnp.arange(B, dtype=idx_dtype)
 
+        # entering (right-edge) window element per row t — one bulk gather.
+        # window(t) = params[bstart[t]-2+pad : bstart[t]-2+pad+B]
+        enter_idx = bstart + (B - 2 + batch.pad - 1)
+        e_mu = mu_pad[enter_idx]
+        e_c1 = c1_pad[enter_idx]
+        e_c2 = c2_pad[enter_idx]
+
         def step(carry, xs):
-            M_prev, E_prev = carry
-            sig_t, bs, bs_prev = xs
-            s1 = bs != bs_prev
-            sc_b = _band_scores(mu_pad, c1_pad, c2_pad, sig_t, bs - 2 + batch.pad, B)
+            M_prev, E_prev, wmu, wc1, wc2 = carry
+            sig_t, s1, em, ec1, ec2, bs = xs
+            slide = lambda w, e: jnp.where(
+                s1, jnp.concatenate([w[1:], e[None]]), w
+            )
+            wmu = slide(wmu, em)
+            wc1 = slide(wc1, ec1)
+            wc2 = slide(wc2, ec2)
+            d = sig_t - wmu
+            sc_b = wc1 - wc2 * d * d
             E_m = jnp.where(s1, E_prev, _shift_right(E_prev, NEG_INF))
             M_e = jnp.where(s1, _shift_left(M_prev, NEG_INF), M_prev)
             E_e = jnp.where(s1, _shift_left(E_prev, NEG_INF), E_prev)
@@ -188,12 +206,17 @@ def _forward_single(batch: BandedBatch, log_m1, log_e2, idx_dtype=jnp.int32):
             valid = _valid_mask(j_iota, bs, bw, N, lower_from_one=True)
             M_new = jnp.where(valid, M_new, NEG_INF)
             E_new = jnp.where(valid, E_new, NEG_INF)
-            return (M_new, E_new), (M_new, E_new)
+            return (M_new, E_new, wmu, wc1, wc2), (M_new, E_new)
 
         M0 = jnp.full((B,), NEG_INF, dtype)
         E0 = M0.at[bw + 1].set(0.0)
-        xs = (sig, bstart[1:], bstart[:-1])
-        (_, _), (Ms, Es) = jax.lax.scan(step, (M0, E0), xs)
+        w0 = lambda arr: jax.lax.dynamic_slice(
+            arr, (bstart[0] - 2 + batch.pad,), (B,)
+        )
+        s_flags = bstart[1:] != bstart[:-1]
+        xs = (sig, s_flags, e_mu[1:], e_c1[1:], e_c2[1:], bstart[1:])
+        carry0 = (M0, E0, w0(mu_pad), w0(c1_pad), w0(c2_pad))
+        _, (Ms, Es) = jax.lax.scan(step, carry0, xs)
         return (
             jnp.concatenate([M0[None], Ms], axis=0),
             jnp.concatenate([E0[None], Es], axis=0),
@@ -213,13 +236,29 @@ def _backward_single(batch: BandedBatch, log_m1, log_e2, idx_dtype=jnp.int32):
         j_iota = jnp.arange(B, dtype=idx_dtype)
         init_row = jnp.full((B,), NEG_INF, dtype).at[bw + 1].set(0.0)
 
+        # sliding (B+1,) window: win(t) = params[bstart[t]-2+pad : ... +B+1];
+        # sc_b uses win[:B] (kmer position n-1), sc_a uses win[1:] (position
+        # n). Scanning t downward the window slides LEFT, entering at index
+        # bstart[t]-2+pad — bulk-gathered here.
+        enter_idx = bstart + (batch.pad - 2)
+        e_mu = mu_pad[enter_idx]
+        e_c1 = c1_pad[enter_idx]
+        e_c2 = c2_pad[enter_idx]
+
         def step(carry, xs):
-            M_next, E_next = carry
-            sig_t, bs, bs_next, t = xs
-            s1 = bs_next != bs
+            M_next, E_next, wmu, wc1, wc2 = carry
+            sig_t, bs, s1, em, ec1, ec2, t = xs
+            slide = lambda w, e: jnp.where(
+                s1, jnp.concatenate([e[None], w[:-1]]), w
+            )
+            wmu = slide(wmu, em)
+            wc1 = slide(wc1, ec1)
+            wc2 = slide(wc2, ec2)
+            d_b = sig_t - wmu[:B]
+            sc_b = wc1[:B] - wc2[:B] * d_b * d_b
+            d_a = sig_t - wmu[1:]
+            sc_a = wc1[1:] - wc2[1:] * d_a * d_a
             n = bs + j_iota - 1
-            sc_a = _band_scores(mu_pad, c1_pad, c2_pad, sig_t, bs - 1 + batch.pad, B)
-            sc_b = _band_scores(mu_pad, c1_pad, c2_pad, sig_t, bs - 2 + batch.pad, B)
             E_n = jnp.where(s1, _shift_right(E_next, NEG_INF), E_next)
             M_n = jnp.where(s1, M_next, _shift_left(M_next, NEG_INF))
             ext = jnp.where(n + 1 < N, M_n + sc_a + log_m1, NEG_INF)
@@ -234,13 +273,18 @@ def _backward_single(batch: BandedBatch, log_m1, log_e2, idx_dtype=jnp.int32):
             is_term = t == T - 1
             M_new = jnp.where(is_term, jnp.full((B,), NEG_INF, dtype), M_new)
             E_new = jnp.where(is_term, init_row, E_new)
-            return (M_new, E_new), (M_new, E_new)
+            return (M_new, E_new, wmu, wc1, wc2), (M_new, E_new)
 
         T_pad = bstart.shape[0]
         t_iota = jnp.arange(T_pad - 1, dtype=idx_dtype)
         neg = jnp.full((B,), NEG_INF, dtype)
-        xs = (sig, bstart[:-1], bstart[1:], t_iota)
-        (_, _), (Ms, Es) = jax.lax.scan(step, (neg, neg), xs, reverse=True)
+        w0 = lambda arr: jax.lax.dynamic_slice(
+            arr, (bstart[T_pad - 1] - 2 + batch.pad,), (B + 1,)
+        )
+        s_flags = bstart[1:] != bstart[:-1]  # shift between t and t+1, at idx t
+        xs = (sig, bstart[:-1], s_flags, e_mu[:-1], e_c1[:-1], e_c2[:-1], t_iota)
+        carry0 = (neg, neg, w0(mu_pad), w0(c1_pad), w0(c2_pad))
+        _, (Ms, Es) = jax.lax.scan(step, carry0, xs, reverse=True)
         # the stored row at the true T-1 is the terminal row itself for any
         # consumer that reads it; rows in (T-1, T_pad) are garbage.
         M = jnp.concatenate([Ms, neg[None]], axis=0)

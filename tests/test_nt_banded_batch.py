@@ -28,7 +28,12 @@ def _items(model, n_reads=5, base_len=40):
 
 def test_batched_matches_single_read_fp64(model):
     items = _items(model)
-    eng = BandedBatchEngine(model, "rna002", dtype=jnp.float64, batch_size=3)
+    # matrix path (device_pipeline=False): no wire quantization, so raw
+    # float64 signals round-trip exactly (the device path is covered by
+    # test_device_pipeline with grid-snapped signals)
+    eng = BandedBatchEngine(
+        model, "rna002", dtype=jnp.float64, batch_size=3, device_pipeline=False
+    )
     outs = eng.run(items)
     for it, out in zip(items, outs):
         assert out.error is None, out.error
@@ -48,7 +53,9 @@ def test_batched_matches_single_read_fp64(model):
 def test_batched_fp32_borders_match(model):
     """fp32 production dtype: same MAP borders, medians to ~1e-3."""
     items = _items(model, n_reads=4, base_len=50)
-    eng = BandedBatchEngine(model, "rna002", dtype=jnp.float32)
+    eng = BandedBatchEngine(
+        model, "rna002", dtype=jnp.float32, device_pipeline=False
+    )
     outs = eng.run(items)
     for it, out in zip(items, outs):
         assert out.error is None, out.error
