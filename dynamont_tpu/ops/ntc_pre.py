@@ -64,7 +64,12 @@ def _select_columns(LP, cap: int, ge_break: bool, sentinel: int):
     overflow = jnp.any(count > cap)
     # gather the first `cap` included indices (they are the first positions
     # of the sorted order), then sort ascending with sentinel padding
-    take = order[:, :cap]
+    eff = min(cap, C)
+    take = order[:, :eff]
+    if eff < cap:
+        take = jnp.concatenate(
+            [take, jnp.full((T, cap - eff), sentinel, take.dtype)], axis=1
+        )
     in_cap = jnp.arange(cap)[None, :] < count[:, None]
     cand = jnp.where(in_cap, take, sentinel)
     cand = jnp.sort(cand, axis=1)
@@ -106,7 +111,7 @@ def _suc_sum(vals, alphabet_size: int):
     g = vals.reshape(step, alphabet_size)
     m = jnp.max(g, axis=1)
     safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
-    y = jnp.log(jnp.sum(jnp.exp(g - safe_m), axis=1)) + safe_m
+    y = jnp.log(jnp.sum(jnp.exp(g - safe_m[:, None]), axis=1)) + safe_m
     y = jnp.where(jnp.isfinite(m), y, NEG_INF)
     return jnp.tile(y, alphabet_size)
 
