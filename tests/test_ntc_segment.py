@@ -1,0 +1,53 @@
+"""NTC MAP segmentation parity vs the reference dynamont-NTC output."""
+
+import numpy as np
+import pytest
+
+from dynamont_tpu.models.ntc import run_ntc
+from dynamont_tpu.models.registry import load_model_for_pore
+
+from tests.ref_oracle import run_reference
+from tests.synthetic import make_read, signal_to_text
+
+
+@pytest.fixture(scope="module")
+def model():
+    return load_model_for_pore("rna002")
+
+
+def _parse_ref(segstring):
+    out = []
+    for part in segstring.strip().split(";"):
+        if not part:
+            continue
+        state = part[0]
+        fields = part[1:].split(",")
+        out.append((state, int(fields[0]), int(fields[1]), float(fields[2]), fields[3]))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ntc_segments_match_reference(model, seed):
+    sig, read = make_read(model, n_bases=25, seed=seed)
+    p = run_reference("dynamont-NTC", signal_to_text(sig), read)
+    assert p.returncode == 0, p.stderr
+    ref = _parse_ref(p.stdout.splitlines()[0])
+    res = run_ntc(sig, read, model, "rna002")
+    got = [
+        ("M" if s[0] == "M" else s[0], s[1], s[2], s[3], s[4])
+        for s in res.segments
+    ]
+    assert len(got) == len(ref)
+    n_mismatch = 0
+    for g, r in zip(got, ref):
+        same = (
+            g[0] == r[0] and g[1] == r[1] and g[2] == r[2]
+            and abs(g[3] - r[3]) < 1e-4 and g[4] == r[4]
+        )
+        n_mismatch += 0 if same else 1
+    # near-ties in the max-DP can resolve differently at ULP level between
+    # implementations; demand essentially full agreement
+    assert n_mismatch <= max(1, len(ref) // 50), (
+        f"{n_mismatch}/{len(ref)} mismatches; first few: "
+        f"{[(g, r) for g, r in zip(got, ref) if g != r][:3]}"
+    )
