@@ -1,0 +1,143 @@
+"""dynamont-resquiggle: batch segmentation of a sequencing run.
+
+TPU-native replacement for the reference CLI (ref: src/python/segmentation/
+segment.py). Reads come from a dorado BAM + raw-file directory (pysam/
+read5_ont) or a plain TSV (--tsv); instead of per-read C++ child processes
+the reads are bucketed and segmented on-device by the batched banded engine
+(basic mode) or the NTC engine (resquiggle mode); results stream to a
+zstd-compressed CSV with the reference's column layout and `.errors`
+sidecar semantics.
+"""
+
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentParser
+
+from dynamont_tpu.constants import PORES
+
+
+def build_parser() -> ArgumentParser:
+    p = ArgumentParser(prog="dynamont-resquiggle")
+    p.add_argument("-r", "--raw", metavar="DIR", default=None,
+                   help="Path to raw ONT data (pod5/fast5/slow5 directory)")
+    p.add_argument("-b", "--basecalls", metavar="BAM", default=None,
+                   help="Basecalls of ONT training data as .bam file")
+    p.add_argument("--tsv", metavar="TSV", default=None,
+                   help="Plain-TSV read source (readid, signalid, signal, read)")
+    p.add_argument("-o", "--outfile", metavar="CSV", required=True,
+                   help="Outfile path (.csv.zst)")
+    p.add_argument("--mode", choices=["basic", "resquiggle"], required=True)
+    p.add_argument("-p", "--pore", required=True, choices=list(PORES))
+    p.add_argument("--model_path", default=None)
+    p.add_argument("-q", "--qscore", type=float, default=0.0)
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="reads per device launch (basic mode)")
+    p.add_argument("-t", "--processes", type=int, default=None,
+                   help="accepted for reference compatibility; device batching replaces the process pool")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.tsv is None and (args.raw is None or args.basecalls is None):
+        print("provide either --tsv or both --raw and --basecalls", file=sys.stderr)
+        raise SystemExit(2)
+
+    from dynamont_tpu.constants import is_rna
+    from dynamont_tpu.io import output as out_io
+    from dynamont_tpu.io import readers
+    from dynamont_tpu.models.registry import load_model_for_pore
+
+    rna = is_rna(args.pore)
+    model = load_model_for_pore(args.pore, args.model_path)
+    writer = out_io.SegmentationWriter(args.outfile)
+
+    def jobs():
+        if args.tsv is not None:
+            yield from readers.generate_tsv_jobs(args.tsv, rna, args.qscore)
+        else:
+            for raw in readers.generate_bam_jobs(args.raw, args.basecalls, args.qscore):
+                try:
+                    yield readers.materialize_bam_job(raw, rna)
+                except Exception as e:  # unreadable raw data -> sidecar
+                    writer.put_error(
+                        f"error: raw read failed, {e}\tRid: {raw[6]}\tSid: {raw[7]}"
+                    )
+
+    try:
+        if args.mode == "basic":
+            _run_basic(args, model, jobs(), writer, rna)
+        else:
+            _run_resquiggle(args, model, jobs(), writer, rna)
+    finally:
+        writer.close()
+
+
+def _emit(writer, job, segments, model, rna):
+    from dynamont_tpu.io import output as out_io
+
+    rows = out_io.format_segments(
+        segments, job.sig_offset, len(job.signal) + job.sig_offset,
+        job.read, model.kmer_size, rna,
+    )
+    writer.put_result(out_io.rows_to_csv_bytes(job.readid, job.signalid, rows))
+
+
+def _run_basic(args, model, jobs, writer, rna):
+    import jax.numpy as jnp
+
+    from dynamont_tpu.models.batch import BandedBatchEngine, BatchItem
+
+    eng = BandedBatchEngine(
+        model, args.pore, dtype=jnp.float32, batch_size=args.batch_size,
+    )
+    # stream in chunks of a few buckets to bound memory
+    chunk: list = []
+    CHUNK = args.batch_size * 4
+
+    def flush():
+        if not chunk:
+            return
+        outs = eng.run([BatchItem(j.signal, j.read, j) for j in chunk])
+        for o in outs:
+            job = o.item.meta
+            if o.error is not None:
+                writer.put_error(
+                    f"error: 3, {o.error}\tT: {len(job.signal)}\tN: {len(job.read)}"
+                    f"\tRid: {job.readid}\tSid: {job.signalid}"
+                )
+            else:
+                _emit(writer, job, o.segments, model, rna)
+        chunk.clear()
+
+    for job in jobs:
+        chunk.append(job)
+        if len(chunk) >= CHUNK:
+            flush()
+    flush()
+
+
+def _run_resquiggle(args, model, jobs, writer, rna):
+    from dynamont_tpu.models.ntc import (
+        NTCPreprocessError, NTCZError, run_ntc,
+    )
+
+    for job in jobs:
+        try:
+            res = run_ntc(job.signal, job.read, model, args.pore)
+            _emit(writer, job, res.segments, model, rna)
+        except (NTCPreprocessError, NTCZError) as e:
+            writer.put_error(
+                f"error: {e.exit_code}, {e}\tT: {len(job.signal)}"
+                f"\tN: {len(job.read)}\tRid: {job.readid}\tSid: {job.signalid}"
+            )
+        except SystemExit as e:
+            writer.put_error(
+                f"error: {e.code}, input validation\tT: {len(job.signal)}"
+                f"\tN: {len(job.read)}\tRid: {job.readid}\tSid: {job.signalid}"
+            )
+
+
+if __name__ == "__main__":
+    main()

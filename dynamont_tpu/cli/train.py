@@ -1,0 +1,83 @@
+"""dynamont-train: mini-batch Baum-Welch parameter training.
+
+TPU-native replacement for the reference CLI (ref: src/python/segmentation/
+train.py). Same defaults (batch_size 24, epochs 1, qscore 10), same
+checkpoint and params.csv artifacts.
+"""
+
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentParser
+
+from dynamont_tpu.constants import PORES
+
+
+def build_parser() -> ArgumentParser:
+    p = ArgumentParser(prog="dynamont-train")
+    p.add_argument("-r", "--raw", metavar="DIR", default=None)
+    p.add_argument("-b", "--basecalls", metavar="BAM", default=None)
+    p.add_argument("--tsv", metavar="TSV", default=None,
+                   help="Plain-TSV read source (readid, signalid, signal, read)")
+    p.add_argument("-o", "--outdir", required=True)
+    p.add_argument("-p", "--pore", required=True, choices=list(PORES))
+    p.add_argument("--mode", choices=["basic", "resquiggle"], required=True)
+    p.add_argument("--model_path", default=None,
+                   help="Initial kmer model (default: packaged per-pore model)")
+    p.add_argument("--batch_size", type=int, default=24)
+    p.add_argument("-e", "--epochs", type=int, default=1)
+    p.add_argument("-q", "--qscore", type=float, default=10.0)
+    p.add_argument("--max_batches", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.tsv is None and (args.raw is None or args.basecalls is None):
+        print("provide either --tsv or both --raw and --basecalls", file=sys.stderr)
+        raise SystemExit(2)
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from dynamont_tpu.constants import is_rna
+    from dynamont_tpu.io import readers
+    from dynamont_tpu.models.registry import get_model_path
+    from dynamont_tpu.training.trainer import Trainer, read_passes_filters
+
+    rna = is_rna(args.pore)
+    model_path = args.model_path or get_model_path(args.pore)
+    trainer = Trainer(
+        args.mode, args.pore, args.outdir, model_path,
+        batch_size=args.batch_size, epochs=args.epochs,
+    )
+
+    def jobs():
+        if args.tsv is not None:
+            yield from readers.generate_tsv_jobs(args.tsv, rna, args.qscore)
+        else:
+            for raw in readers.generate_bam_jobs(args.raw, args.basecalls, args.qscore):
+                try:
+                    yield readers.materialize_bam_job(raw, rna)
+                except Exception as e:
+                    print(f"raw read failed: {e}", file=sys.stderr)
+
+    try:
+        for epoch in range(args.epochs):
+            batch = []
+            for job in jobs():
+                if not read_passes_filters(job.read_5to3):
+                    continue
+                batch.append(job)
+                if len(batch) == args.batch_size:
+                    trainer.process_batch(batch, epoch)
+                    batch = []
+                    if args.max_batches and trainer.batch_num >= args.max_batches:
+                        break
+    finally:
+        trainer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Mini-batch Baum-Welch training driver (ref: src/python/segmentation/
+train.py).
+
+Faithful port of the reference training loop semantics — sliding-window
+(ManagedList) pooling of per-read estimates, per-batch model checkpoints,
+params.csv logging with post-update Z re-evaluation — with the per-read C++
+child processes replaced by the batched banded training op (basic mode) or
+the NTC trainer (resquiggle mode).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from collections import deque
+from datetime import datetime
+from os.path import join
+
+import numpy as np
+
+from dynamont_tpu.constants import (
+    NTK_PARAM_NAMES, TRAIN_INIT_NT, TRAIN_INIT_NTK, is_rna,
+)
+from dynamont_tpu.utils.pore_model import (
+    pore_model_from_dict, read_kmer_models, write_kmer_models,
+)
+
+
+class ManagedList:
+    """Sliding-window estimator (ref: train.py:19-46)."""
+
+    def __init__(self, values, max_size: int = 100):
+        self.values = deque(values, maxlen=max_size)
+
+    def add(self, value):
+        self.values.append(value)
+
+    def get_list(self):
+        return list(self.values)
+
+    def mean(self):
+        if not self.values:
+            return None
+        return float(np.mean(self.values))
+
+    def median(self):
+        if not self.values:
+            return None
+        return float(np.median(self.values))
+
+    def __repr__(self):
+        return f"ManagedList({list(self.values)})"
+
+
+def nucleotide_ratios(seq: str) -> dict:
+    """Fraction of each base (ref: FileIO.py countNucleotides + ratio)."""
+    L = max(1, len(seq))
+    return {b: seq.count(b) / L for b in "ACGT"}
+
+
+class Trainer:
+    """One training run over batches of reads."""
+
+    def __init__(self, mode: str, pore: str, outdir: str,
+                 model_path: str, batch_size: int = 24, epochs: int = 1):
+        assert mode in ("basic", "resquiggle")
+        self.mode = mode
+        self.pore = pore
+        self.rna = is_rna(pore)
+        self.outdir = outdir
+        self.batch_size = batch_size
+        self.epochs = epochs
+        os.makedirs(outdir, exist_ok=True)
+
+        self.kmer_models = read_kmer_models(model_path)
+        init = TRAIN_INIT_NT if mode == "basic" else TRAIN_INIT_NTK
+        self.transition_params = dict(init)
+
+        # ManagedList pools (ref: train.py:110-111)
+        self.param_collector = {
+            kmer: (ManagedList([m]), ManagedList([s]))
+            for kmer, (m, s) in self.kmer_models.items()
+        }
+        self.param_collector.update(
+            {p: ManagedList([v]) for p, v in self.transition_params.items()}
+        )
+
+        self.ckpt_path = join(outdir, "trained_0_0.model")
+        write_kmer_models(self.ckpt_path, self.kmer_models)
+        self.params_csv = open(join(outdir, "params.csv"), "w")
+        self.params_csv.write(
+            "epoch,batch,read," + ",".join(self.transition_params) + ",Zchange\n"
+        )
+        self.reads_done = 0
+        self.batch_num = 0
+
+    # -- per-read training ------------------------------------------------
+    def _train_read(self, job):
+        model = pore_model_from_dict(self.kmer_models, self.rna)
+        if self.mode == "basic":
+            from dynamont_tpu.models.nt_banded import run_nt_banded
+
+            res = run_nt_banded(
+                job.signal, job.read, model, self.pore,
+                self.transition_params, mode="train", validate=False,
+            )
+            return res.trained_transitions, res.trained_emissions, res.Z
+        from dynamont_tpu.models.ntc import run_ntc
+
+        res = run_ntc(
+            job.signal, job.read, model, self.pore, self.transition_params,
+            mode="train", validate=False,
+        )
+        return res.trained_transitions, res.trained_emissions, res.Z
+
+    def _calc_z(self, job):
+        model = pore_model_from_dict(self.kmer_models, self.rna)
+        if self.mode == "basic":
+            from dynamont_tpu.models.nt_banded import run_nt_banded
+
+            return run_nt_banded(
+                job.signal, job.read, model, self.pore,
+                self.transition_params, mode="calcZ", validate=False,
+            ).Z
+        from dynamont_tpu.models.ntc import run_ntc
+
+        return run_ntc(
+            job.signal, job.read, model, self.pore, self.transition_params,
+            mode="calcZ", validate=False,
+        ).Z
+
+    # -- batch update ------------------------------------------------------
+    def process_batch(self, jobs: list, epoch: int) -> float | None:
+        """Train one batch, pool estimates, checkpoint, return mean dZ
+        (ref: train.py:205-269)."""
+        self.batch_num += 1
+        print("============================", file=sys.stderr)
+        print(
+            f"{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}: Training epoch: "
+            f"{epoch}, reads: {self.reads_done}, batch: {self.batch_num}\n"
+            f"{self.transition_params}",
+            file=sys.stderr,
+        )
+        kmer_seen = set()
+        pre_z = np.zeros(len(jobs))
+        ok_jobs = []
+        for j, job in enumerate(jobs):
+            try:
+                trained, new_models, z = self._train_read(job)
+            except Exception as e:
+                print(
+                    f"No segmentation calculated for {job.readid} in {epoch}: {e}",
+                    file=sys.stderr,
+                )
+                continue
+            self.reads_done += 1
+            pre_z[j] = z
+            ok_jobs.append(job)
+            for p, v in trained.items():
+                self.param_collector[p].add(v)
+            # skip weird polyA trainings (ref: train.py:226-227)
+            polya = "A" * 9 if "A" * 9 in new_models else "A" * 5
+            if polya in new_models and new_models[polya][0] < 0.5:
+                continue
+            for kmer, (m, s) in new_models.items():
+                kmer_seen.add(kmer)
+                if kmer not in self.param_collector:
+                    self.param_collector[kmer] = (ManagedList([m]), ManagedList([s]))
+                else:
+                    self.param_collector[kmer][0].add(m)
+                    self.param_collector[kmer][1].add(s)
+        print(f"Zs: {pre_z}", file=sys.stderr)
+
+        self.params_csv.write(f"{epoch},{self.batch_num},{self.reads_done},")
+        for p in self.transition_params:
+            self.transition_params[p] = self.param_collector[p].mean()
+            self.params_csv.write(f"{self.transition_params[p]},")
+        for kmer in kmer_seen:
+            self.kmer_models[kmer] = (
+                self.param_collector[kmer][0].mean(),
+                self.param_collector[kmer][1].mean(),
+            )
+        self.ckpt_path = join(
+            self.outdir, f"trained_{epoch}_{self.batch_num}.model"
+        )
+        write_kmer_models(self.ckpt_path, self.kmer_models)
+        self.params_csv.flush()
+
+        post_z = np.zeros(len(jobs))
+        for j, job in enumerate(jobs):
+            try:
+                post_z[j] = self._calc_z(job)
+            except Exception as e:
+                print(
+                    f"No segmentation calculated for {job.readid} in {epoch} calcZ: {e}",
+                    file=sys.stderr,
+                )
+        dz = post_z - pre_z
+        print(f"Z changes: {dz}", file=sys.stderr)
+        delta = float(np.mean(dz))
+        self.params_csv.write(f"{delta}\n")
+        self.params_csv.flush()
+        return delta
+
+    def close(self):
+        self.params_csv.close()
+        print("Done training", file=sys.stderr)
+
+
+def read_passes_filters(seq: str) -> bool:
+    """Repeat-artifact filter: skip reads >=60% one nucleotide
+    (ref: train.py:139-146)."""
+    return not any(v >= 0.6 for v in nucleotide_ratios(seq).values())
