@@ -1,0 +1,164 @@
+"""Segmentation benchmark harness: border-distance metrics vs ground-truth
+changepoints, random/uniform controls, segment-length distributions
+(ref: src/python/misc/compareTools.py).
+"""
+
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def evaluate(gt: np.ndarray, pred: np.ndarray, max_distance: int) -> np.ndarray:
+    """Count, per distance offset in [-max_distance, max_distance], how many
+    ground-truth changepoints have their closest prediction within that
+    distance. Faithful port of the reference matching logic incl. the
+    neighbor-stealing resolution (ref: compareTools.py:319-394).
+
+    Returns an int array of length 2*max_distance+1; index d corresponds to
+    signed distance (max_distance - d).
+    """
+    gt = np.sort(np.asarray(gt))
+    pred = np.sort(np.asarray(pred))
+    found = np.array([{} for _ in range(len(gt))])
+
+    pred_start = 0
+    for gi in range(len(gt)):
+        gv = int(gt[gi])
+        for pi in range(pred_start, len(pred)):
+            pv = int(pred[pi])
+            if gv - pv > max_distance:
+                continue
+            elif gv - pv < -max_distance:
+                break
+            found[gi][pi] = gv - pv
+        pred_start = min(found[gi].keys()) if found[gi] else 0
+
+    result = np.zeros(2 * max_distance + 1, dtype=int)
+    for gi in range(len(gt)):
+        if not found[gi]:
+            continue
+        cur = found[gi]
+        pi = min(cur, key=lambda k: abs(cur[k]))
+        prev = found[gi - 1] if gi > 0 else {}
+        if prev and cur and pi in prev and abs(prev[pi]) <= abs(cur[pi]):
+            del cur[pi]
+            if cur:
+                pi = min(cur, key=lambda k: abs(cur[pi]))
+        nxt = found[gi + 1] if gi < len(gt) - 1 else {}
+        if nxt and cur and pi in nxt and abs(nxt[pi]) < abs(cur[pi]):
+            del cur[pi]
+            if cur:
+                pi = min(cur, key=lambda k: abs(cur[pi]))
+        if not cur:
+            continue
+        d = int(cur[pi])
+        if d >= 0:
+            result[: max_distance - d + 1] += 1
+        if d <= 0:
+            result[max_distance - d:] += 1
+        if d == 0:
+            result[max_distance] -= 1
+    return result
+
+
+def cumulative_ratio(result: np.ndarray, n_gt: int, max_distance: int):
+    """Found-changepoint ratio per absolute distance threshold
+    (ref: compareTools.py plot preparation)."""
+    out = []
+    for d in range(max_distance + 1):
+        lo, hi = max_distance - d, max_distance + d
+        # result[i] counts gts whose best match is within the signed offset;
+        # symmetric window = value at both edges (they're cumulative in the
+        # reference encoding: result[:m-d+1] and result[m-d:] increments)
+        found = result[lo] + result[hi] - result[max_distance] if d > 0 else result[max_distance]
+        out.append((d, found / max(1, n_gt)))
+    return out
+
+
+def generate_control(regions: dict, seed: int | None = None):
+    """Random + equidistant border controls (ref: compareTools.py:464-505).
+
+    regions: {readid: [(n_bases, sig_start, sig_end), ...]}.
+    """
+    rng = np.random.default_rng(seed)
+    random_borders = {}
+    uniform_borders = {}
+    for readid, regs in regions.items():
+        nts_total = sum(r[0] for r in regs)
+        all_positions = np.concatenate([np.arange(r[1], r[2]) for r in regs])
+        random_borders[readid] = rng.choice(
+            all_positions, size=min(nts_total, len(all_positions)), replace=False
+        )
+        uniform_borders[readid] = np.concatenate(
+            [np.linspace(r[1], r[2] - 1, r[0], dtype=int) for r in regs]
+        )
+    return random_borders, uniform_borders
+
+
+def segment_lengths(segments_by_read: dict) -> np.ndarray:
+    """Pooled segment lengths across reads for distribution plots."""
+    out = []
+    for segs in segments_by_read.values():
+        for s in segs:
+            out.append(int(s[1]) - int(s[0]))
+    return np.asarray(out)
+
+
+def borders_from_segments(segments) -> np.ndarray:
+    """Changepoints = segment starts."""
+    return np.asarray(sorted({int(s[0]) for s in segments}))
+
+
+def main(argv=None) -> None:
+    """Compare one or more tool segmentations against ground-truth
+    changepoints stored in an HDF5 (group per readid, dataset of positions).
+    """
+    p = ArgumentParser(prog="dynamont-compare-tools")
+    p.add_argument("--gt", required=True, help="HDF5 with per-read changepoints")
+    p.add_argument("--dynamont", default=None, help="dynamont CSV(.zst)")
+    p.add_argument("--uncalled4", default=None)
+    p.add_argument("--f5c-resquiggle", dest="f5c_resquiggle", default=None)
+    p.add_argument("--max-distance", type=int, default=50)
+    p.add_argument("-o", "--out", required=True, help="output CSV of ratios")
+    args = p.parse_args(argv)
+
+    import h5py
+
+    from dynamont_tpu.plot import readers as tool_readers
+
+    with h5py.File(args.gt) as h5:
+        gts = {rid: np.asarray(h5[rid]) for rid in h5}
+
+    tools = {}
+    if args.dynamont:
+        tools["dynamont"] = lambda rid: tool_readers.read_dynamont(args.dynamont, rid)
+    if args.uncalled4:
+        tools["uncalled4"] = lambda rid: tool_readers.read_uncalled4(args.uncalled4, rid)
+    if args.f5c_resquiggle:
+        tools["f5c_resquiggle"] = lambda rid: tool_readers.read_f5c_resquiggle(
+            args.f5c_resquiggle, rid, "", 5
+        )
+
+    rows = ["Tool,AbsoluteDistance,FoundRatio"]
+    for tool, get in tools.items():
+        total = np.zeros(2 * args.max_distance + 1, dtype=int)
+        n_gt = 0
+        for rid, gt in gts.items():
+            segs = get(rid)
+            if not segs:
+                continue
+            pred = borders_from_segments(segs)
+            total += evaluate(gt, pred, args.max_distance)
+            n_gt += len(gt)
+        for d, ratio in cumulative_ratio(total, n_gt, args.max_distance):
+            rows.append(f"{tool},{d},{ratio}")
+    with open(args.out, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Format converters (ref: src/python/misc/segToFasta.py, tomboToFasta.py,
+extractDoradoMoves.py)."""
+
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentParser
+
+
+def detect_format(header: list[str]) -> str:
+    """Autodetect segmentation file flavor (ref: segToFasta.py:24-38)."""
+    hs = {h.strip().lower() for h in header}
+    if {"readid", "motif"}.issubset(hs):
+        return "dynamont"
+    if {"read_id", "kmer_idx", "start_raw_idx", "end_raw_idx"}.issubset(hs):
+        return "f5c_resquiggle"
+    if {"model_kmer", "read_index", "start_idx", "end_idx"}.issubset(hs):
+        return "f5c_eventalign"
+    if {"aln.read_id", "seq.kmer", "dtw.start", "dtw.length"}.issubset(hs):
+        return "uncalled4"
+    raise ValueError(f"Unsupported or unrecognized segmentation file format: {header}")
+
+
+def seg_to_fasta(seg_file: str, basecalls: dict, rna: bool, outfile: str) -> int:
+    """Emit per-read FASTA of the bases covered by the segmentation
+    (ref: segToFasta.py). basecalls: {readid: sequence 5'->3'}. Returns the
+    number of reads written."""
+    from dynamont_tpu.plot.readers import _open_maybe_zst
+
+    per_read: dict[str, set] = {}
+    with _open_maybe_zst(seg_file) as f:
+        header = f.readline().strip().split(",")
+        fmt = detect_format(header if len(header) > 1 else header[0].split("\t"))
+        if fmt != "dynamont":
+            raise NotImplementedError(
+                "only the dynamont CSV flavor is converted here; others keep "
+                "their native tooling"
+            )
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) < 5:
+                continue
+            rid, basepos = parts[0], int(parts[4])
+            per_read.setdefault(rid, set()).add(basepos)
+
+    n = 0
+    with open(outfile, "w") as out:
+        for rid, positions in per_read.items():
+            seq = basecalls.get(rid)
+            if seq is None:
+                continue
+            lo, hi = min(positions), max(positions)
+            sub = seq[lo: hi + 1]
+            out.write(f">{rid}\n{sub}\n")
+            n += 1
+    print(f"wrote {n} reads to {outfile}", file=sys.stderr)
+    return n
+
+
+def extract_dorado_moves(bam_file: str, outfile: str) -> None:
+    """mv:B:c move table -> per-base signal segment TSV
+    (ref: extractDoradoMoves.py:18-68)."""
+    import pysam
+
+    with pysam.AlignmentFile(bam_file, "rb", check_sq=False) as bam, open(
+        outfile, "w"
+    ) as out:
+        out.write("readid\tsignalid\tposition\tbase\tmotif\tstart\tend\n")
+        for read in bam.fetch(until_eof=True):
+            if not read.has_tag("mv"):
+                continue
+            mv = read.get_tag("mv")
+            stride, moves = mv[0], mv[1:]
+            ts = read.get_tag("ts") if read.has_tag("ts") else 0
+            seq = read.query_sequence
+            signalid = read.get_tag("pi") if read.has_tag("pi") else read.query_name
+            pos = -1
+            starts = []
+            for i, m in enumerate(moves):
+                if m:
+                    starts.append(ts + i * stride)
+            for j, start in enumerate(starts):
+                pos += 1
+                if pos >= len(seq):
+                    break
+                end = starts[j + 1] if j + 1 < len(starts) else ts + len(moves) * stride
+                motif = seq[max(0, pos - 2): pos + 3]
+                out.write(
+                    f"{read.query_name}\t{signalid}\t{pos}\t{seq[pos]}\t{motif}\t{start}\t{end}\n"
+                )
+
+
+def main(argv=None) -> None:
+    p = ArgumentParser(prog="dynamont-convert")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    s1 = sub.add_parser("seg-to-fasta")
+    s1.add_argument("-i", "--input", required=True)
+    s1.add_argument("-b", "--basecalls", required=True, help="BAM or FASTA")
+    s1.add_argument("-o", "--output", required=True)
+    s1.add_argument("--rna", action="store_true")
+    s2 = sub.add_parser("dorado-moves")
+    s2.add_argument("-i", "--input", required=True, help="BAM with mv tags")
+    s2.add_argument("-o", "--output", required=True)
+    args = p.parse_args(argv)
+
+    if args.cmd == "seg-to-fasta":
+        from dynamont_tpu.eval.evaluate_reads import load_fasta
+
+        if args.basecalls.endswith((".bam", ".sam")):
+            import pysam
+
+            basecalls = {}
+            with pysam.AlignmentFile(args.basecalls, "rb", check_sq=False) as bam:
+                for read in bam.fetch(until_eof=True):
+                    basecalls[read.query_name] = read.query_sequence
+        else:
+            basecalls = load_fasta(args.basecalls)
+        seg_to_fasta(args.input, basecalls, args.rna, args.output)
+    else:
+        extract_dorado_moves(args.input, args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -158,6 +158,17 @@ def pore_model_from_dict(models: dict[str, tuple[float, float]], rna: bool) -> P
     return _parse_model_tsv(buf.getvalue(), rna)
 
 
+def reduce_cli(argv=None) -> None:
+    """CLI for the 9-mer -> 5-mer model reduction (ref: models/9merTo5mer.py)."""
+    from argparse import ArgumentParser
+
+    p = ArgumentParser(prog="dynamont-9mer-to-5mer")
+    p.add_argument("-i", "--input", required=True, help="9-mer model TSV")
+    p.add_argument("-o", "--output", required=True, help="5-mer model TSV")
+    args = p.parse_args(argv)
+    write_kmer_models(args.output, reduce_9mer_to_5mer(read_kmer_models(args.input)))
+
+
 def reduce_9mer_to_5mer(models9: dict[str, tuple[float, float]]) -> dict[str, tuple[float, float]]:
     """Average 9-mer Gaussians over the middle 5 bases -> 5-mer model.
 

@@ -1,0 +1,148 @@
+"""Evaluation/plotting tooling tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from dynamont_tpu.eval.compare_tools import (
+    borders_from_segments, evaluate, generate_control, segment_lengths,
+)
+from dynamont_tpu.eval.edge_detection import wavelet_peaks, window_edges
+from dynamont_tpu.eval.evaluate_reads import (
+    compute_n50, compute_stats, global_alignment, report,
+)
+
+
+def test_evaluate_exact_matches():
+    gt = np.array([10, 20, 30])
+    res = evaluate(gt, np.array([10, 20, 30]), max_distance=5)
+    # exact hit counts once at every threshold
+    assert res[5] == 3
+    assert res[0] == 3 and res[-1] == 3
+
+
+def test_evaluate_with_offsets():
+    gt = np.array([10, 30])
+    res = evaluate(gt, np.array([12, 27]), max_distance=5)
+    m = 5
+    assert res[m] == 0                 # no exact hits
+    # 10 vs 12 -> d=-2; 30 vs 27 -> d=+3
+    assert res[m - 3] >= 1 and res[m + 2] >= 1
+
+
+def test_evaluate_empty_pred():
+    assert evaluate(np.array([5, 9]), np.array([]), 3).sum() == 0
+
+
+def test_generate_control_shapes():
+    regions = {"r1": [(10, 100, 200)]}
+    rnd, uni = generate_control(regions, seed=1)
+    assert len(uni["r1"]) == 10
+    assert len(rnd["r1"]) == 10
+    assert np.all((rnd["r1"] >= 100) & (rnd["r1"] < 200))
+    assert uni["r1"][0] == 100 and uni["r1"][-1] == 199
+
+
+def test_segment_utils():
+    segs = [(0, 5, "A", "AAAAA"), (5, 9, "C", "CCCCC")]
+    assert list(segment_lengths({"r": segs})) == [5, 4]
+    assert list(borders_from_segments(segs)) == [0, 5]
+
+
+def test_global_alignment_and_n50():
+    assert global_alignment("ACGT", "ACGT") == 0
+    assert global_alignment("ACGT", "ACTT") == 1
+    assert compute_n50([1, 2, 3, 4, 10]) == 10
+    assert compute_n50([5, 5, 5, 5]) == 5
+
+
+def test_compute_stats_report():
+    basecalls = {"a": "ACGTACGT", "b": "ACGT", "c": "GGGG"}
+    segmented = {"a": "ACGTACGT", "b": "ACG"}
+    stats = report(compute_stats(basecalls, segmented))
+    assert stats["total"] == 3 and stats["present"] == 2
+    assert stats["missing"] == 1 and stats["identical"] == 1
+    assert stats["truncated"] == 1
+
+
+def test_wavelet_peaks_finds_step_edges():
+    rng = np.random.default_rng(0)
+    sig = np.concatenate([
+        rng.normal(0, 0.05, 200), rng.normal(2, 0.05, 200),
+        rng.normal(-1, 0.05, 200),
+    ])
+    peaks = wavelet_peaks(sig, threshold=0.5)
+    assert len(peaks) >= 2
+    assert any(abs(p - 200) <= 5 for p in peaks)
+    assert any(abs(p - 400) <= 5 for p in peaks)
+
+
+def test_window_edges_finds_step():
+    rng = np.random.default_rng(1)
+    sig = np.concatenate([rng.normal(0, 0.05, 100), rng.normal(3, 0.05, 100)])
+    edges = window_edges(sig, threshold=3.0)
+    assert any(abs(e - 100) <= 3 for e in edges)
+
+
+def test_collect_metrics_roundtrip(tmp_path):
+    from dynamont_tpu.eval import collect_metrics
+
+    j = tmp_path / "tool.json"
+    j.write_text(json.dumps({"present": 5, "N50": 1000, "lengths": [1, 2]}))
+    t = tmp_path / "time.txt"
+    t.write_text("Elapsed time: 00:10:05 h:m:s\nMax Memory: 1234 MB\n")
+    out = tmp_path / "metrics.csv"
+    collect_metrics.main([
+        "--tool", "dynamont", str(j), "--time", "dynamont", str(t),
+        "-o", str(out),
+    ])
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "Tool,Value,Metric"
+    assert any("n50_length" in ln for ln in lines)
+    assert any("Memory in MB" in ln for ln in lines)
+
+
+def test_plot_segmentation_smoke(tmp_path):
+    from dynamont_tpu.io.output import format_segments
+    from dynamont_tpu.models.registry import load_model_for_pore
+    from dynamont_tpu.plot.segmentation import plot_borders
+    from tests.synthetic import make_read
+
+    model = load_model_for_pore("rna002")
+    sig, read = make_read(model, n_bases=20, seed=0)
+    segs = [("M", i + 2, i * 9, 0.9) for i in range(10)]
+    rows = format_segments(segs, 0, len(sig), read, 5, rna=True)
+    out = tmp_path / "plot.png"
+    plot_borders(sig, rows, read, "readX", str(out), model,
+                 border_probs=np.log(np.random.rand(len(sig))))
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_plot_params_smoke(tmp_path):
+    from dynamont_tpu.plot.trained_params import plot_parameters
+
+    csv = tmp_path / "params.csv"
+    csv.write_text(
+        "epoch,batch,read,m1,e2,Zchange\n0,1,4,0.03,0.97,5.0\n0,2,8,0.031,0.969,2.0\n"
+    )
+    plot_parameters(str(csv), str(tmp_path))
+    assert (tmp_path / "m1.pdf").exists()
+    assert (tmp_path / "Zchange.pdf").exists()
+
+
+def test_seg_to_fasta(tmp_path):
+    from dynamont_tpu.eval.converters import seg_to_fasta
+
+    seg = tmp_path / "seg.csv"
+    seg.write_text(
+        "readid,signalid,start,end,basepos,base,motif,state,posterior_probability,polish\n"
+        "r1,r1,0,5,3,A,AACGT,M,0.9,NA\n"
+        "r1,r1,5,9,4,C,ACGTC,M,0.9,NA\n"
+    )
+    out = tmp_path / "out.fasta"
+    n = seg_to_fasta(str(seg), {"r1": "AAACGTCCC"}, False, str(out))
+    assert n == 1
+    text = out.read_text()
+    assert text.startswith(">r1\n")
+    assert "CG" in text
