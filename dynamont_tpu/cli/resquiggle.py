@@ -35,6 +35,10 @@ def build_parser() -> ArgumentParser:
                    help="reads per device launch (basic mode)")
     p.add_argument("-t", "--processes", type=int, default=None,
                    help="accepted for reference compatibility; device batching replaces the process pool")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run: initialize jax.distributed and take "
+                        "every process_count-th read (round-robin shard of the "
+                        "job stream; output files get a .rank<k> suffix)")
     return p
 
 
@@ -51,13 +55,34 @@ def main(argv=None) -> None:
 
     rna = is_rna(args.pore)
     model = load_model_for_pore(args.pore, args.model_path)
-    writer = out_io.SegmentationWriter(args.outfile)
+
+    # multi-host data parallelism: reads are embarrassingly parallel, so each
+    # process handles a round-robin shard of the job stream and writes its
+    # own output file (no cross-host tensor traffic; SURVEY.md §2.4)
+    rank, world = 0, 1
+    outfile = args.outfile
+    if args.distributed:
+        from dynamont_tpu.parallel.mesh import init_distributed
+        import jax
+
+        init_distributed()
+        rank, world = jax.process_index(), jax.process_count()
+        if world > 1:
+            outfile = f"{args.outfile}.rank{rank}"
+    writer = out_io.SegmentationWriter(outfile)
 
     def jobs():
         if args.tsv is not None:
-            yield from readers.generate_tsv_jobs(args.tsv, rna, args.qscore)
+            source = readers.generate_tsv_jobs(args.tsv, rna, args.qscore)
+            for i, job in enumerate(source):
+                if i % world == rank:
+                    yield job
         else:
-            for raw in readers.generate_bam_jobs(args.raw, args.basecalls, args.qscore):
+            for i, raw in enumerate(
+                readers.generate_bam_jobs(args.raw, args.basecalls, args.qscore)
+            ):
+                if i % world != rank:
+                    continue
                 try:
                     yield readers.materialize_bam_job(raw, rna)
                 except Exception as e:  # unreadable raw data -> sidecar

@@ -112,6 +112,57 @@ def borders_from_segments(segments) -> np.ndarray:
     return np.asarray(sorted({int(s[0]) for s in segments}))
 
 
+def _mad(x):
+    med = np.median(x)
+    return np.median(np.abs(x - med))
+
+
+def score_segments(signal: np.ndarray, seg_pos: np.ndarray, window: int = 20) -> np.ndarray:
+    """Per-border signal-quality scores (ref: compareTools.py:755-797):
+    for each interior border, the median shift and MAD shift between the
+    windows on either side, plus the trimmed-MAD homogeneity of the segment
+    the border opens. Returns (n, 3) float32 [medShift, madShift, homogeneity].
+    """
+    seg_pos = np.asarray(seg_pos)
+    sig_len = len(signal)
+    scores = []
+    for i in range(1, len(seg_pos) - 1):
+        curr = int(seg_pos[i])
+        nxt = int(seg_pos[i + 1])
+        start = max(0, curr - window)
+        end = min(curr + window, sig_len)
+        w1 = signal[start:curr]
+        w2 = signal[curr:end]
+        med_shift = float(np.abs(np.median(w2) - np.median(w1)))
+        mad_shift = float(np.abs(_mad(w2) - _mad(w1)))
+        segment = signal[curr:nxt]
+        if len(segment) >= 10:
+            trim = max(int(0.1 * len(segment)), 1)
+            homogeneity = float(_mad(segment[trim:-trim]))
+        else:
+            homogeneity = np.nan
+        scores.append((med_shift, mad_shift, homogeneity))
+    return np.asarray(scores, dtype=np.float32).reshape(-1, 3)
+
+
+def score_tools(signals: dict, tool_borders: dict, window: int = 20):
+    """CSV rows Tool,Score,Segment Quality for every tool/read
+    (ref: compareTools.py:799-832 scoreTools). signals: {readid: signal};
+    tool_borders: {tool: {readid: sorted border array}}."""
+    rows = ["Tool,Score,Segment Quality"]
+    common = set(signals)
+    for borders in tool_borders.values():
+        common &= set(borders)
+    for readid in sorted(common):
+        for tool, borders in tool_borders.items():
+            sc = score_segments(signals[readid], borders[readid], window)
+            for med_shift, mad_shift, homog in sc:
+                rows.append(f"{tool},{med_shift},Median Delta")
+                rows.append(f"{tool},{mad_shift},Mad Delta")
+                rows.append(f"{tool},{homog},Homogeneity")
+    return rows
+
+
 def main(argv=None) -> None:
     """Compare one or more tool segmentations against ground-truth
     changepoints stored in an HDF5 (group per readid, dataset of positions).

@@ -34,6 +34,12 @@ from dynamont_tpu.ops.geometry import band_geometry, effective_bandwidth
 
 NEG_INF = -jnp.inf
 
+# Per-step TPU while-loop overhead dominates the wavefront scans; unrolling a
+# few steps per loop iteration cuts steady-state ~25%, but XLA compile time
+# grows superlinearly (12+ min fused at unroll=4), so cold starts default to 1;
+# long-running deployments with a warm persistent cache should set 4.
+SCAN_UNROLL = int(__import__("os").environ.get("DYNAMONT_SCAN_UNROLL", "1"))
+
 
 def z_epsilon(dtype) -> float:
     """Per-cell forward/backward agreement tolerance.
@@ -216,7 +222,7 @@ def _forward_single(batch: BandedBatch, log_m1, log_e2, idx_dtype=jnp.int32):
         s_flags = bstart[1:] != bstart[:-1]
         xs = (sig, s_flags, e_mu[1:], e_c1[1:], e_c2[1:], bstart[1:])
         carry0 = (M0, E0, w0(mu_pad), w0(c1_pad), w0(c2_pad))
-        _, (Ms, Es) = jax.lax.scan(step, carry0, xs)
+        _, (Ms, Es) = jax.lax.scan(step, carry0, xs, unroll=SCAN_UNROLL)
         return (
             jnp.concatenate([M0[None], Ms], axis=0),
             jnp.concatenate([E0[None], Es], axis=0),
@@ -284,7 +290,7 @@ def _backward_single(batch: BandedBatch, log_m1, log_e2, idx_dtype=jnp.int32):
         s_flags = bstart[1:] != bstart[:-1]  # shift between t and t+1, at idx t
         xs = (sig, bstart[:-1], s_flags, e_mu[:-1], e_c1[:-1], e_c2[:-1], t_iota)
         carry0 = (neg, neg, w0(mu_pad), w0(c1_pad), w0(c2_pad))
-        _, (Ms, Es) = jax.lax.scan(step, carry0, xs, reverse=True)
+        _, (Ms, Es) = jax.lax.scan(step, carry0, xs, reverse=True, unroll=SCAN_UNROLL)
         # the stored row at the true T-1 is the terminal row itself for any
         # consumer that reads it; rows in (T-1, T_pad) are garbage.
         M = jnp.concatenate([Ms, neg[None]], axis=0)
@@ -325,7 +331,7 @@ def _viterbi_single(batch: BandedBatch, idx_dtype=jnp.int32):
         M0 = jnp.full((B,), NEG_INF, dtype)
         E0 = M0.at[bw + 1].set(0.0)
         xs = (LPM[1:], LPE[1:], bstart[1:], bstart[:-1])
-        (_, _), choices = jax.lax.scan(step, (M0, E0), xs)
+        (_, _), choices = jax.lax.scan(step, (M0, E0), xs, unroll=SCAN_UNROLL)
         return jnp.concatenate([jnp.zeros((1, B), bool), choices], axis=0)
 
     return fn

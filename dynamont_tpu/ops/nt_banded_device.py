@@ -208,7 +208,7 @@ def _walk_single(B: int, N_max: int):
         xs = (PM[1:], PE[1:], choices[1:], bstart[1:], bstart[:-1], t_idx)
         init = (N - 1, bw + 1, jnp.asarray(False))
         _, (path_n, probs, closes, starts_t) = jax.lax.scan(
-            step, init, xs, reverse=True
+            step, init, xs, reverse=True, unroll=bb.SCAN_UNROLL
         )
 
         # segment starts: each base closes at most once
