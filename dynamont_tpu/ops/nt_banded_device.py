@@ -232,9 +232,20 @@ def _walk_single(B: int, N_max: int):
     return fn
 
 
+def use_pallas_default() -> bool:
+    """Mosaic kernels only lower on real TPU backends."""
+    import os
+
+    env = os.environ.get("DYNAMONT_USE_PALLAS")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() not in ("cpu",)
+
+
 def banded_batch_run_device(wire: WireBatch, means_t, c1_t, c2_t, log_m1,
                             log_e2, dtype=jnp.float32,
-                            hampel: bool = False) -> DeviceSegResult:
+                            hampel: bool = False,
+                            use_pallas: bool | None = None) -> DeviceSegResult:
     """Whole-pipeline device program for one padded bucket."""
     decode = jax.vmap(_decode_single(wire, means_t, c1_t, c2_t, dtype, hampel))
     sig, mu_pad, c1_pad, c2_pad, bstart = decode(
@@ -245,7 +256,14 @@ def banded_batch_run_device(wire: WireBatch, means_t, c1_t, c2_t, log_m1,
         sig=sig, mu_pad=mu_pad, c1_pad=c1_pad, c2_pad=c2_pad, bstart=bstart,
         T=wire.T, N=wire.N, bw=wire.bw, pad=wire.pad, B=wire.B,
     )
-    res = bb.banded_batch_run(batch, log_m1, log_e2)
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    if use_pallas and jnp.dtype(dtype) == jnp.float32:
+        from dynamont_tpu.ops import nt_banded_pallas as pk
+
+        res = pk.banded_batch_run_pallas(batch, log_m1, log_e2)
+    else:
+        res = bb.banded_batch_run(batch, log_m1, log_e2)
     walk = jax.vmap(_walk_single(wire.B, wire.N_max))
     starts, medians = walk(res.PM, res.PE, res.choices, bstart, wire.T,
                            wire.N, wire.bw)
