@@ -262,11 +262,14 @@ def banded_batch_run_device(wire: WireBatch, means_t, c1_t, c2_t, log_m1,
         from dynamont_tpu.ops import nt_banded_pallas as pk
 
         res = pk.banded_batch_run_pallas(batch, log_m1, log_e2)
+        starts, medians = pk.walk_pallas(
+            res.PM, res.PE, res.choices, batch, wire.N_max
+        )
     else:
         res = bb.banded_batch_run(batch, log_m1, log_e2)
-    walk = jax.vmap(_walk_single(wire.B, wire.N_max))
-    starts, medians = walk(res.PM, res.PE, res.choices, bstart, wire.T,
-                           wire.N, wire.bw)
+        walk = jax.vmap(_walk_single(wire.B, wire.N_max))
+        starts, medians = walk(res.PM, res.PE, res.choices, bstart, wire.T,
+                               wire.N, wire.bw)
     return DeviceSegResult(Zf=res.Zf, Zb=res.Zb, starts=starts, medians=medians)
 
 

@@ -333,12 +333,16 @@ def backward_pallas(batch: bb.BandedBatch, log_m1: float, log_e2: float,
 # viterbi
 # ---------------------------------------------------------------------------
 
-def _vit_kernel(bw_ref, n_ref, lpm_ref, lpe_ref, s1_ref, bs_ref, ch_out,
-                cM, cE, *, B, C):
+def _vit_kernel(bw_ref, n_ref, zb_ref, fm_ref, fe_ref, bm_ref, be_ref,
+                s1_ref, bs_ref, ch_out, pm_out, pe_out, cM, cE, *, B, C):
+    """Fused posterior + Viterbi pass: computes LPM/LPE = for+back-Zb on the
+    fly, emits the traceback choice bits and the clipped posterior
+    probabilities PM/PE in one streaming read of the four DP tensors."""
     r = pl.program_id(0)
     c = pl.program_id(1)
     bw = bw_ref[r]
     N = n_ref[r]
+    zb = zb_ref[r]
     j_iota = _iota_b(B)
 
     @pl.when(c == 0)
@@ -346,8 +350,17 @@ def _vit_kernel(bw_ref, n_ref, lpm_ref, lpe_ref, s1_ref, bs_ref, ch_out,
         cM[...] = jnp.full((1, B), NEG_INF, jnp.float32)
         cE[...] = jnp.where(j_iota == bw + 1, 0.0, NEG_INF)
 
+    def clip_prob(lp):
+        p = jnp.exp(lp)
+        p = jnp.where(jnp.isnan(p), 0.0, p)
+        return jnp.clip(p, 0.0, 1.0)
+
     def body(i, _):
         t = c * C + i
+        lpm = (fm_ref[0, i, :] + bm_ref[0, i, :] - zb)[None, :]
+        lpe = (fe_ref[0, i, :] + be_ref[0, i, :] - zb)[None, :]
+        pm_out[0, i, :] = clip_prob(lpm)[0, :]
+        pe_out[0, i, :] = clip_prob(lpe)[0, :]
 
         @pl.when(t == 0)
         def _():
@@ -356,8 +369,6 @@ def _vit_kernel(bw_ref, n_ref, lpm_ref, lpe_ref, s1_ref, bs_ref, ch_out,
         @pl.when(t > 0)
         def _():
             s1 = s1_ref[0, i, 0] == 1
-            lpm = lpm_ref[0, i, :][None, :]
-            lpe = lpe_ref[0, i, :][None, :]
             M_prev = cM[...]
             E_prev = cE[...]
             E_m = jnp.where(s1, E_prev, _shift_right(E_prev, NEG_INF))
@@ -379,8 +390,10 @@ def _vit_kernel(bw_ref, n_ref, lpm_ref, lpe_ref, s1_ref, bs_ref, ch_out,
     jax.lax.fori_loop(0, C, body, 0)
 
 
-def viterbi_pallas(LPM, LPE, batch: bb.BandedBatch, interpret: bool = False):
-    R, T_pad, B = LPM.shape
+def viterbi_post_pallas(forM, forE, backM, backE, Zb, batch: bb.BandedBatch,
+                        interpret: bool = False):
+    """choices + PM + PE from the raw DP tensors in one fused pass."""
+    R, T_pad, B = forM.shape
     C = CHUNK
     nc = (T_pad + C - 1) // C
     Tc = nc * C
@@ -399,22 +412,29 @@ def viterbi_pallas(LPM, LPE, batch: bb.BandedBatch, interpret: bool = False):
 
     kernel = functools.partial(_vit_kernel, B=B, C=C)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(R, nc),
-        in_specs=[mat_spec(), mat_spec(), row_spec(), row_spec()],
-        out_specs=mat_spec(),
+        in_specs=[mat_spec(), mat_spec(), mat_spec(), mat_spec(), row_spec(),
+                  row_spec()],
+        out_specs=(mat_spec(), mat_spec(), mat_spec()),
         scratch_shapes=[pltpu.VMEM((1, B), jnp.float32) for _ in range(2)],
     )
-    ch = pl.pallas_call(
+    ch, PM, PE = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, Tc, B), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, Tc, B), jnp.int32),
+            jax.ShapeDtypeStruct((R, Tc, B), jnp.float32),
+            jax.ShapeDtypeStruct((R, Tc, B), jnp.float32),
+        ),
         interpret=interpret,
     )(
         batch.bw.astype(jnp.int32), batch.N.astype(jnp.int32),
-        pad_t3(LPM), pad_t3(LPE), pad_t(s1)[..., None], pad_t(bs_all)[..., None],
+        Zb.astype(jnp.float32),
+        pad_t3(forM), pad_t3(forE), pad_t3(backM), pad_t3(backE),
+        pad_t(s1)[..., None], pad_t(bs_all)[..., None],
     )
-    return ch[:, :T_pad].astype(bool)
+    return (ch[:, :T_pad].astype(bool), PM[:, :T_pad], PE[:, :T_pad])
 
 
 # ---------------------------------------------------------------------------
@@ -424,16 +444,136 @@ def viterbi_pallas(LPM, LPE, batch: bb.BandedBatch, interpret: bool = False):
 def banded_batch_run_pallas(batch: bb.BandedBatch, log_m1, log_e2,
                             interpret: bool = False) -> bb.BandedBatchResult:
     """Drop-in fp32 replacement for bb.banded_batch_run using the Mosaic
-    kernels for the three wavefront passes."""
+    kernels for the three wavefront passes (posterior computation fused
+    into the Viterbi pass)."""
     forM, forE = forward_pallas(batch, log_m1, log_e2, interpret)
     backM, backE = backward_pallas(batch, log_m1, log_e2, interpret)
     R = batch.sig.shape[0]
     r_iota = jnp.arange(R)
     Zf = forE[r_iota, batch.T - 1, batch.bw + 1]
     Zb = backE[r_iota, 0, batch.bw + 1]
-    LPM = forM + backM - Zb[:, None, None]
-    LPE = forE + backE - Zb[:, None, None]
-    choices = viterbi_pallas(LPM, LPE, batch, interpret)
-    PM = jnp.clip(jnp.nan_to_num(jnp.exp(LPM), nan=0.0, posinf=0.0), 0.0, 1.0)
-    PE = jnp.clip(jnp.nan_to_num(jnp.exp(LPE), nan=0.0, posinf=0.0), 0.0, 1.0)
+    choices, PM, PE = viterbi_post_pallas(
+        forM, forE, backM, backE, Zb, batch, interpret
+    )
     return bb.BandedBatchResult(Zf=Zf, Zb=Zb, PM=PM, PE=PE, choices=choices)
+
+# ---------------------------------------------------------------------------
+# traceback walk
+# ---------------------------------------------------------------------------
+
+def _walk_kernel(t_ref, n_ref, bw_ref, pm_ref, pe_ref, ch_ref, s1_ref,
+                 out_n, out_prob, out_close, state, *, B, C, nc, n_sentinel):
+    """Sequential MAP walk (ref: NT_banded.cpp:204-250) as a reverse chunk
+    stream. Carry (n, j, is_m) lives in SMEM scratch; per-row outputs are
+    lane-broadcast for aligned vector stores (column 0 read back outside)."""
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    T = t_ref[r]
+    N = n_ref[r]
+    bw = bw_ref[r]
+    lane = _iota_b(B)
+
+    @pl.when(c == 0)
+    def _():
+        state[0] = N - 1      # n
+        state[1] = bw + 1     # j
+        state[2] = 0          # is_m
+
+    def body(k, _):
+        i = C - 1 - k
+        t = (nc - 1 - c) * C + i
+        n = state[0]
+        j = state[1]
+        is_m = state[2] == 1
+        active = (t <= T - 1) & (t >= 1) & (n >= 1)
+        s = s1_ref[0, i, 0]
+
+        def lane_pick(row):
+            return jnp.sum(jnp.where(lane == j, row[None, :], 0.0))
+
+        pm = lane_pick(pm_ref[0, i, :])
+        pe = lane_pick(pe_ref[0, i, :])
+        ch = jnp.sum(jnp.where(lane == j, ch_ref[0, i, :][None, :], 0))
+        prob = jnp.where(is_m, pm, pe)
+        close = active & is_m
+        out_val = jnp.where(active, n, n_sentinel)
+        out_n[0, i, :] = jnp.full((128,), 0, jnp.int32) + out_val
+        out_prob[0, i, :] = jnp.full((128,), 0.0, jnp.float32) + prob
+        out_close[0, i, :] = jnp.full((128,), 0, jnp.int32) + close.astype(jnp.int32)
+
+        state[0] = jnp.where(close, n - 1, n)
+        state[1] = jnp.where(close, j - 1 + s, jnp.where(active, j + s, j))
+        state[2] = jnp.where(close, 0, jnp.where(active, ch, state[2]))
+        return 0
+
+    jax.lax.fori_loop(0, C, body, 0)
+
+
+def walk_pallas(PM, PE, choices, batch: bb.BandedBatch, N_max: int,
+                interpret: bool = False):
+    """Device walk + grouped medians; same outputs as
+    nt_banded_device._walk_single but with the sequential pass in Mosaic."""
+    R, T_pad, B = PM.shape
+    C = CHUNK
+    nc = (T_pad + C - 1) // C
+    Tc = nc * C
+    bs_all = batch.bstart.astype(jnp.int32)
+    s1 = jnp.concatenate(
+        [jnp.zeros((R, 1), jnp.int32),
+         (bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32)], axis=1)
+
+    pad_t3 = lambda a, v: jnp.pad(
+        a, ((0, 0), (0, Tc - T_pad), (0, 0)), constant_values=v)
+    pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
+
+    rev3 = lambda r, c, *_: (r, nc - 1 - c, 0)
+    mat_spec = lambda: pl.BlockSpec((1, C, B), rev3, memory_space=pltpu.VMEM)
+    row_spec = lambda: pl.BlockSpec((1, C, 1), rev3, memory_space=pltpu.VMEM)
+    lane_spec = lambda: pl.BlockSpec((1, C, 128), rev3, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_walk_kernel, B=B, C=C, nc=nc, n_sentinel=N_max)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(R, nc),
+        in_specs=[mat_spec(), mat_spec(), mat_spec(), row_spec()],
+        out_specs=(lane_spec(), lane_spec(), lane_spec()),
+        scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
+    )
+    path_n, path_prob, closes = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, Tc, 128), jnp.int32),
+            jax.ShapeDtypeStruct((R, Tc, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R, Tc, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        batch.T.astype(jnp.int32), batch.N.astype(jnp.int32),
+        batch.bw.astype(jnp.int32),
+        pad_t3(PM.astype(jnp.float32), 0.0),
+        pad_t3(PE.astype(jnp.float32), 0.0),
+        pad_t3(choices.astype(jnp.int32), 0),
+        pad_t(s1)[..., None],
+    )
+    path_n = path_n[:, 1:T_pad, 0]
+    path_prob = path_prob[:, 1:T_pad, 0]
+    closes = closes[:, 1:T_pad, 0].astype(bool)
+    t_idx = jnp.arange(1, T_pad, dtype=jnp.int32)
+
+    def finish(pn, pp, cl):
+        starts = jnp.full((N_max + 1,), -1, jnp.int32)
+        idx = jnp.where(cl, pn, N_max)
+        starts = starts.at[idx].set(t_idx - 1)[:N_max]
+        keys = pn
+        probs = jnp.where(keys < N_max, pp, jnp.inf)
+        sk, sp = jax.lax.sort((keys, probs), num_keys=2)
+        counts = jnp.zeros((N_max + 1,), jnp.int32).at[keys].add(1)[:N_max]
+        offsets = jnp.cumsum(counts) - counts
+        lo = jnp.clip(offsets + (counts - 1) // 2, 0, pn.shape[0] - 1)
+        hi = jnp.clip(offsets + counts // 2, 0, pn.shape[0] - 1)
+        med = 0.5 * (sp[lo] + sp[hi])
+        med = jnp.where(counts > 0, med, 0.0)
+        return starts, med
+
+    return jax.vmap(finish)(path_n, path_prob, closes)

@@ -88,3 +88,24 @@ def test_full_run_matches_scan(setup):
         np.log(np.asarray(res_p.PM) + 1e-30),
         np.log(np.asarray(res_s.PM) + 1e-30), T, atol=1e-3,
     )
+
+
+def test_walk_matches_device_walk(setup):
+    import jax
+
+    from dynamont_tpu.ops import nt_banded_device as dv
+
+    batch = setup
+    lm, le = math.log(M1), math.log(E2)
+    res = bb.banded_batch_run(batch, lm, le)
+    N_max = int(np.asarray(batch.N).max())
+    walk = jax.vmap(dv._walk_single(batch.B, N_max))
+    starts_s, med_s = walk(res.PM, res.PE, res.choices, batch.bstart,
+                           batch.T, batch.N, batch.bw)
+    starts_p, med_p = pk.walk_pallas(
+        res.PM, res.PE, res.choices, batch, N_max, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(starts_p), np.asarray(starts_s))
+    np.testing.assert_allclose(
+        np.asarray(med_p), np.asarray(med_s), atol=1e-7
+    )
