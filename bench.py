@@ -18,7 +18,8 @@ import json
 import sys
 import time
 
-REF_READS_PER_S = 0.74  # single-core reference C++, same workload (see above)
+REF_READS_PER_S = 0.75  # single-core reference C++, same workload scaled to
+                        # the trimmed T=16000 (1.35 s/read at T=16.3k median)
 
 N_READS = 32
 N_BASES = 1800

@@ -127,3 +127,25 @@ def test_trainer_tsv(model, tmp_path):
     # transition params moved off their init values but stay probabilities
     assert 0 < trainer.transition_params["m1"] < 1
     assert 0 < trainer.transition_params["e2"] < 1
+
+
+def test_resquiggle_cli_tsv_ntc_mode(model, tmp_path):
+    """TSV -> resquiggle (NTC) mode -> zstd CSV with polish column filled."""
+    from dynamont_tpu.cli import resquiggle
+
+    items = []
+    for s in range(2):
+        sig, read_proc = make_read(model, n_bases=20, seed=60 + s)
+        items.append((f"ntc{s}", sig, read_proc[9:][::-1]))
+    tsv = tmp_path / "reads.tsv"
+    _write_tsv(tsv, items)
+    out = tmp_path / "out.csv.zst"
+    resquiggle.main([
+        "--tsv", str(tsv), "-o", str(out), "--mode", "resquiggle", "-p", "rna002",
+    ])
+    header, rows = _read_zst_csv(out)
+    assert {r[0] for r in rows} == {"ntc0", "ntc1"}
+    polish = {r[9] for r in rows}
+    assert polish - {"NA"}, "polish column should contain k-mers"
+    states = {r[7] for r in rows}
+    assert states <= {"M", "P"}
