@@ -146,3 +146,30 @@ def test_seg_to_fasta(tmp_path):
     text = out.read_text()
     assert text.startswith(">r1\n")
     assert "CG" in text
+
+
+def test_downstream_eval(tmp_path):
+    from dynamont_tpu.eval import downstream
+
+    flye = tmp_path / "assembly_info.txt"
+    flye.write_text(
+        "#seq_name\tlength\tcov.\tcirc.\n"
+        "contig_1\t1000\t30.0\tN\ncontig_2\t4000\t50.0\tN\ncontig_3\t500\t10.0\tN\n"
+    )
+    vcf = tmp_path / "variants.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\tsv1\tN\t<DEL>\t20\tPASS\tSVTYPE=DEL;END=200\n"
+        "chr1\t900\tsv2\tN\t<INS>\t20\tPASS\tSVTYPE=INS\n"
+    )
+    out = tmp_path / "summary.txt"
+    downstream.main([str(flye), str(vcf), str(out)])
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "Total length: 5500"
+    assert lines[1] == "N50: 4000"
+    assert lines[3] == "Number of structural variants: 2"
+    # round-trips into the metric aggregator's downstream parser
+    from dynamont_tpu.eval.collect_metrics import add_downstream_metrics
+    rows = []
+    add_downstream_metrics(rows, "dynamont", str(out))
+    assert ("dynamont", 4000, "flye n50") in rows
