@@ -80,6 +80,13 @@ class SegmentationWriter:
 
     def _run(self):
         compressor = self._zstd.ZstdCompressor(level=3)
+        try:
+            from tqdm import tqdm
+
+            pbar = tqdm(desc="Segmented", unit=" reads", dynamic_ncols=False,
+                        mininterval=10, file=sys.stderr)  # ref: segment.py:89-95
+        except ImportError:
+            pbar = None
         with open(self.outfile, "wb") as raw:
             with compressor.stream_writer(raw) as out:
                 out.write(CSV_HEADER)
@@ -91,9 +98,15 @@ class SegmentationWriter:
                         with open(self.errfile, "a") as err:
                             err.write(item + "\n")
                         self.num_errors += 1
+                        if pbar is not None:
+                            pbar.set_postfix(errors=self.num_errors)
                     else:
                         out.write(item)
                         self.num_reads += 1
+                        if pbar is not None:
+                            pbar.update(1)
+        if pbar is not None:
+            pbar.close()
 
     def put_result(self, data: bytes):
         self.queue.put(data)
