@@ -100,3 +100,23 @@ def test_score_params():
     )
     got = c1[k] - c2[k] * (x - means[k]) ** 2
     assert got == pytest.approx(expected, rel=1e-12)
+
+
+def test_9mer_to_5mer_cli(tmp_path):
+    """CLI reduction round-trip (ref: models/9merTo5mer.py)."""
+    import itertools
+
+    from dynamont_tpu.utils.pore_model import read_kmer_models, reduce_cli
+
+    nine = tmp_path / "nine.model"
+    with open(nine, "w") as f:
+        f.write("kmer\tlevel_mean\tlevel_stdv\n")
+        # two 9-mers sharing the same middle 5-mer
+        f.write("AAACGTACG\t1.0\t0.1\n")
+        f.write("CCACGTACT\t3.0\t0.3\n")
+        f.write("GGGGGGGGG\t5.0\t0.5\n")
+    out = tmp_path / "five.model"
+    reduce_cli(["-i", str(nine), "-o", str(out)])
+    five = read_kmer_models(str(out))
+    assert five["ACGTA"] == (2.0, pytest.approx(0.2))
+    assert five["GGGGG"] == (5.0, 0.5)
