@@ -45,14 +45,16 @@ def z_epsilon(dtype) -> float:
     """Per-cell forward/backward agreement tolerance.
 
     The reference demands abs(Zf-Zb)/cells <= 1e-8 in double precision
-    (ref: utils.cpp:7, NT_banded_main.cpp:156). In float32 the per-op noise
-    floor is ~1e-7 relative, so the per-cell threshold is relaxed; the check
-    still catches genuinely broken DPs (mismatched band geometry, wrong
+    (ref: utils.cpp:7, NT_banded_main.cpp:156). In float32 the rounding
+    noise accumulated over T logaddexp steps reaches ~1 in absolute Z for
+    production-length reads, so the per-cell threshold is relaxed by 100x —
+    loose enough for fp32 noise (|dZ| bound ~10 at T=16k, B=512), tight
+    enough to catch genuinely broken DPs (mismatched band geometry, wrong
     shifts) which blow up by many orders of magnitude.
     """
     if jnp.dtype(dtype) == jnp.float64:
         return EPSILON
-    return 1e-3
+    return 1e-6
 
 
 class BandedBatch(NamedTuple):
