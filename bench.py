@@ -1,8 +1,10 @@
 """Headline benchmark: banded-mode resquiggling throughput (reads/s).
 
-Workload: synthetic RNA002 reads shaped like production data (~1.8k bases,
-mean dwell 9 -> T ~= 16k samples), segmented end-to-end through the batched
-banded engine (host prep + device DP + native traceback), fp32.
+Workload: a stream of 64 synthetic RNA002 reads shaped like production data
+(~1.8k bases, mean dwell 9, T = 16k samples), segmented end-to-end through
+the batched banded engine (host prep + wire H2D + Mosaic DP kernels + device
+traceback walk + D2H summaries), fp32; buckets of 16 pipeline against each
+other via async dispatch.
 
 Baseline: the reference C++ `dynamont-NT-banded -t 1` measured on identical
 synthetic reads on this machine's host CPU: 1.35 s/read median => 0.74
@@ -21,7 +23,7 @@ import time
 REF_READS_PER_S = 0.75  # single-core reference C++, same workload scaled to
                         # the trimmed T=16000 (1.35 s/read at T=16.3k median)
 
-N_READS = 32
+N_READS = 64
 N_BASES = 1800
 MEAN_DWELL = 9.0
 
