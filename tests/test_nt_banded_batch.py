@@ -120,3 +120,16 @@ def test_native_traceback_matches_python(model):
             model.kmer_size // 2,
         )
         assert got[i] == pytest.approx(want)
+
+
+def test_empty_and_mixed_batches(model):
+    eng = BandedBatchEngine(model, "rna002", device_pipeline=False)
+    assert eng.run([]) == []
+    # invalid read mixed with a valid one: both get a result in order
+    good_sig, good_read = make_read(model, n_bases=40, seed=3)
+    outs = eng.run([
+        BatchItem(signal=np.zeros(4), read="ACGTACGTAC"),
+        BatchItem(signal=good_sig, read=good_read),
+    ])
+    assert outs[0].segments is None and outs[0].error
+    assert outs[1].error is None and outs[1].segments
