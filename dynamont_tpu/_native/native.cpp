@@ -132,3 +132,185 @@ int64_t nt_traceback(const uint8_t *choices, const float *PM, const float *PE,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// NTC 5-state traceback over the static candidate-slot layout
+// (ref: src/cpp/NTC.cpp:691-904; mirrors ops/ntc_viterbi.ntc_traceback).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+namespace {
+
+struct SlotView {
+    const double *apsei;   // (T, 5, CN, CK)
+    const double *logp;
+    const int32_t *cand_n; // (T, CN) sorted asc, sentinel >= N
+    const int32_t *ks;     // (T, CK) sorted asc, sentinel >= K
+    const uint8_t *allowed; // (T, CN, CK)
+    int64_t T, CN, CK;
+
+    // slot of value v in sorted row (first occurrence), -1 if absent
+    static int64_t find(const int32_t *row, int64_t len, int32_t v) {
+        int64_t lo = 0, hi = len;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (row[mid] < v) lo = mid + 1; else hi = mid;
+        }
+        return (lo < len && row[lo] == v) ? lo : -1;
+    }
+
+    double get(const double *mat, int64_t t, int64_t n, int64_t k,
+               int64_t state) const {
+        if (t < 0 || t >= T) return -INFINITY;
+        const int64_t i = find(cand_n + t * CN, CN, (int32_t)n);
+        if (i < 0) return -INFINITY;
+        const int64_t j = find(ks + t * CK, CK, (int32_t)k);
+        if (j < 0) return -INFINITY;
+        if (!allowed[(t * CN + i) * CK + j]) return -INFINITY;
+        return mat[((t * 5 + state) * CN + i) * CK + j];
+    }
+    double ap(int64_t t, int64_t n, int64_t k, int64_t s) const {
+        return get(apsei, t, n, k, s);
+    }
+    double lp(int64_t t, int64_t n, int64_t k, int64_t s) const {
+        return get(logp, t, n, k, s);
+    }
+};
+
+}  // namespace
+
+// Returns segment count, or -1 on a backtrace error. Outputs sized >= T+N.
+// States: 0 A, 1 P, 2 S, 3 E, 4 I (ref legend NTC.cpp:699-703).
+// out_state: 0 = 'M' line, 1 = 'P' line.
+int64_t ntc_traceback(const double *apsei, const double *logp,
+                      const int32_t *cand_n, const int32_t *ks,
+                      const uint8_t *allowed, int64_t T, int64_t N, int64_t K,
+                      int64_t CN, int64_t CK, int64_t alphabet_size,
+                      int64_t kmer_size, int64_t start_k, int32_t *out_state,
+                      int32_t *out_basepos, int32_t *out_start,
+                      double *out_median, int32_t *out_polish) {
+    SlotView v{apsei, logp, cand_n, ks, allowed, T, CN, CK};
+    const int64_t half = kmer_size / 2;
+    const int64_t step = K / alphabet_size;
+    int64_t t = T - 1, n = N - 1, k = start_k;
+    int64_t state = 3;  // E
+    std::vector<double> probs;
+    probs.reserve(1024);
+    int64_t nseg = 0;
+    auto emit = [&](int32_t st, int64_t basepos, int64_t start) {
+        out_state[nseg] = st;
+        out_basepos[nseg] = (int32_t)basepos;
+        out_start[nseg] = (int32_t)start;
+        out_median[nseg] =
+            probs.empty() ? 0.0 : median_of(probs.data(), (int64_t)probs.size());
+        out_polish[nseg] = (int32_t)k;
+        ++nseg;
+        probs.clear();
+    };
+    int64_t guard = 2 * (T + N) + 10;
+    while (t) {
+        if (--guard < 0) return -1;
+        if (state == 3) {  // E
+            if (t == 1) {
+                emit(0, half, 0);
+                break;
+            }
+            const double sc = v.ap(t, n, k, 3);
+            const double ls = v.lp(t, n, k, 3);
+            probs.push_back(std::exp(ls));
+            if (sc == v.ap(t - 1, n, k, 3) + ls) state = 3;
+            else if (sc == v.ap(t - 1, n, k, 0) + ls) state = 0;
+            else if (sc == v.ap(t - 1, n, k, 2) + ls) state = 2;
+            else if (sc == v.ap(t - 1, n, k, 1) + ls) state = 1;
+            else return -1;
+            --t;
+        } else if (state == 0) {  // A
+            if (t == 1 && n == 1) {
+                emit(0, half, 0);
+                break;
+            }
+            const double sc = v.ap(t, n, k, 0);
+            const double ls = v.lp(t, n, k, 0);
+            probs.push_back(std::exp(ls));
+            bool matched = false;
+            for (int64_t a = 0; a < alphabet_size; ++a) {
+                const int64_t pre = k / alphabet_size + a * step;
+                if (sc == v.ap(t - 1, n - 1, pre, 3) + ls) {
+                    emit(0, n - 1 + half, t - 1);
+                    state = 3;
+                } else if (sc == v.ap(t - 1, n - 1, pre, 4) + ls) {
+                    emit(0, n - 1 + half, t - 1);
+                    state = 4;
+                } else {
+                    continue;
+                }
+                --t;
+                --n;
+                k = pre;
+                matched = true;
+                break;
+            }
+            if (!matched) return -1;
+        } else if (state == 1) {  // P
+            if (t == 1) {
+                emit(1, half, 0);
+                break;
+            }
+            const double sc = v.ap(t, n, k, 1);
+            const double ls = v.lp(t, n, k, 1);
+            probs.push_back(std::exp(ls));
+            bool matched = false;
+            for (int64_t a = 0; a < alphabet_size; ++a) {
+                const int64_t pre = k / alphabet_size + a * step;
+                if (sc == v.ap(t - 1, n, pre, 3) + ls) {
+                    emit(1, n - 1 + half, t - 1);
+                    state = 3;
+                } else if (sc == v.ap(t - 1, n, pre, 2) + ls) {
+                    emit(1, n - 1 + half, t - 1);
+                    state = 2;
+                } else if (sc == v.ap(t - 1, n, pre, 4) + ls) {
+                    emit(1, n - 1 + half, t - 1);
+                    state = 4;
+                } else {
+                    continue;
+                }
+                --t;
+                k = pre;
+                matched = true;
+                break;
+            }
+            if (!matched) return -1;
+        } else if (state == 2) {  // S
+            if (t == 1 && n == 1) break;
+            const double sc = v.ap(t, n, k, 2);
+            const double ls = v.lp(t, n, k, 2);
+            probs.push_back(std::exp(ls));
+            if (sc == v.ap(t - 1, n - 1, k, 3) + ls) state = 3;
+            else if (sc == v.ap(t - 1, n - 1, k, 1) + ls) state = 1;
+            else if (sc == v.ap(t - 1, n - 1, k, 4) + ls) state = 4;
+            --t;
+            --n;
+        } else {  // I
+            if (n == 1) break;
+            const double sc = v.ap(t, n, k, 4);
+            const double ls = v.lp(t, n, k, 4);
+            probs.push_back(std::exp(ls));
+            // two plain ifs in the reference: an E match overrides I
+            if (sc == v.ap(t, n - 1, k, 4) + ls) state = 4;
+            if (sc == v.ap(t, n - 1, k, 3) + ls) state = 3;
+            --n;
+        }
+    }
+    // reverse into read order
+    for (int64_t a = 0, b = nseg - 1; a < b; ++a, --b) {
+        std::swap(out_state[a], out_state[b]);
+        std::swap(out_basepos[a], out_basepos[b]);
+        std::swap(out_start[a], out_start[b]);
+        std::swap(out_median[a], out_median[b]);
+        std::swap(out_polish[a], out_polish[b]);
+    }
+    return nseg;
+}
+
+}  // extern "C"

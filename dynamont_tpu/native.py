@@ -209,3 +209,56 @@ def nt_traceback(choices, PM, PE, kmer_size):
             t -= 1
     segments.reverse()
     return segments
+
+
+def _bind_ntc(lib):
+    import ctypes
+
+    if getattr(lib, "_ntc_bound", False):
+        return
+    c_i64 = ctypes.c_int64
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.ntc_traceback.restype = c_i64
+    lib.ntc_traceback.argtypes = [
+        f64p, f64p, i32p, i32p, u8p,
+        c_i64, c_i64, c_i64, c_i64, c_i64, c_i64, c_i64, c_i64,
+        i32p, i32p, i32p, f64p, i32p,
+    ]
+    lib._ntc_bound = True
+
+
+def ntc_traceback_native(apsei, logp, cand_n, ks, allowed, T, N, K,
+                         alphabet_size, kmer_size, start_k):
+    """5-state NTC walk over the candidate-slot layout (ref:
+    NTC.cpp:691-904). Returns [(state01, basepos, start, median, polish_k)]
+    in read order, or None if the native library is unavailable or the walk
+    hits an inconsistency (caller falls back to Python)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_ntc(lib)
+    ap = np.ascontiguousarray(apsei, dtype=np.float64)
+    lp = np.ascontiguousarray(logp, dtype=np.float64)
+    cn = np.ascontiguousarray(cand_n, dtype=np.int32)
+    kk = np.ascontiguousarray(ks, dtype=np.int32)
+    al = np.ascontiguousarray(allowed, dtype=np.uint8)
+    CN, CK = cn.shape[1], kk.shape[1]
+    cap = int(T + N + 8)
+    out_state = np.empty(cap, np.int32)
+    out_basepos = np.empty(cap, np.int32)
+    out_start = np.empty(cap, np.int32)
+    out_median = np.empty(cap, np.float64)
+    out_polish = np.empty(cap, np.int32)
+    nseg = lib.ntc_traceback(
+        ap, lp, cn, kk, al, T, N, K, CN, CK, alphabet_size, kmer_size,
+        start_k, out_state, out_basepos, out_start, out_median, out_polish,
+    )
+    if nseg < 0:
+        return None
+    return [
+        (int(out_state[i]), int(out_basepos[i]), int(out_start[i]),
+         float(out_median[i]), int(out_polish[i]))
+        for i in range(nseg)
+    ]

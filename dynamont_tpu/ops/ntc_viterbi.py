@@ -158,6 +158,22 @@ def ntc_traceback(plan: NTCPlan, apsei: np.ndarray, logp: np.ndarray,
     if best_k is None:
         return []
 
+    # native C++ walker when available (identical comparisons over the same
+    # float64 tensors; falls back to the Python walk on any inconsistency)
+    from dynamont_tpu import native as _native
+
+    nat = _native.ntc_traceback_native(
+        apsei, logp, np.asarray(plan.cand_n), np.asarray(plan.ks),
+        np.asarray(plan.allowed), T, N, K, alphabet_size, model.kmer_size,
+        best_k,
+    )
+    if nat is not None:
+        return [
+            ("M" if st == 0 else "P", basepos, start, med,
+             int2kmer(pk, alphabet_size, model.kmer_size, model.rna))
+            for st, basepos, start, med, pk in nat
+        ]
+
     t, n, k = T - 1, N - 1, best_k
     state = E
     seg_probs: list[float] = []

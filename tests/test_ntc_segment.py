@@ -51,3 +51,22 @@ def test_ntc_segments_match_reference(model, seed):
         f"{n_mismatch}/{len(ref)} mismatches; first few: "
         f"{[(g, r) for g, r in zip(got, ref) if g != r][:3]}"
     )
+
+
+def test_native_ntc_walker_matches_python(model):
+    """The C++ slot walker must reproduce the Python walk exactly."""
+    import dynamont_tpu.native as native
+    from dynamont_tpu.models import ntc as ntc_mod
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    sig, read = make_read(model, n_bases=22, seed=9)
+    res_native = run_ntc(sig, read, model, "rna002")
+    # force the Python walk by disabling the native path
+    orig = native.ntc_traceback_native
+    native.ntc_traceback_native = lambda *a, **k: None
+    try:
+        res_py = run_ntc(sig, read, model, "rna002")
+    finally:
+        native.ntc_traceback_native = orig
+    assert res_native.segments == res_py.segments
