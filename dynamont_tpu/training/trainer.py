@@ -96,6 +96,67 @@ class Trainer:
         self.batch_num = 0
 
     # -- per-read training ------------------------------------------------
+    def _train_batch_basic(self, jobs: list) -> list:
+        """All reads of a batch through the batched banded Baum-Welch op in
+        one device launch (per-read estimates proven identical to the
+        single-read path; see tests/test_train_batch.py). Returns a list of
+        (trained_transitions, trained_emissions, Z) or Exception per job."""
+        import math
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from dynamont_tpu.constants import EPSILON
+        from dynamont_tpu.ops import nt_banded_batch as bb
+        from dynamont_tpu.utils.kmer import int2kmer, seq_to_kmer_ids
+
+        model = pore_model_from_dict(self.kmer_models, self.rna)
+        kids = [
+            seq_to_kmer_ids(j.read, model.kmer_size, model.alphabet_size)
+            for j in jobs
+        ]
+        batch = bb.prepare_batch(
+            [j.signal for j in jobs], kids, model.means, model.stdevs,
+            dtype=jnp.float64,
+        )
+        N_max = int(np.asarray(batch.N).max())
+        kid_pad = np.zeros((len(jobs), N_max - 1), dtype=np.int32)
+        for i, k in enumerate(kids):
+            kid_pad[i, : len(k)] = k
+        res = bb.banded_batch_train(
+            batch,
+            math.log(self.transition_params["m1"]),
+            math.log(self.transition_params["e2"]),
+            jnp.asarray(kid_pad), model.num_kmers,
+        )
+        Zf = np.asarray(res.Zf, np.float64)
+        Zb = np.asarray(res.Zb, np.float64)
+        T = np.asarray(batch.T, np.float64)
+        out = []
+        for i in range(len(jobs)):
+            if not (
+                np.isfinite(Zf[i]) and np.isfinite(Zb[i])
+                and abs(Zf[i] - Zb[i]) / (T[i] * batch.B) <= EPSILON
+            ):
+                out.append(RuntimeError(
+                    f"Z values between matrices do not match! Zf: {Zf[i]}, Zb: {Zb[i]}"
+                ))
+                continue
+            trans = {
+                "m1": float(res.m1[i]), "e1": 1.0, "e2": float(res.e2[i]),
+            }
+            means = np.asarray(res.means[i])
+            stdevs = np.asarray(res.stdevs[i])
+            mask = np.asarray(res.kmer_mask[i])
+            emis = {
+                int2kmer(k, model.alphabet_size, model.kmer_size, model.rna):
+                    (float(means[k]), float(stdevs[k]))
+                for k in range(model.num_kmers)
+                if mask[k]
+            }
+            out.append((trans, emis, float(Zb[i])))
+        return out
+
     def _train_read(self, job):
         model = pore_model_from_dict(self.kmer_models, self.rna)
         if self.mode == "basic":
@@ -145,9 +206,24 @@ class Trainer:
         kmer_seen = set()
         pre_z = np.zeros(len(jobs))
         ok_jobs = []
+        if self.mode == "basic":
+            try:
+                results = self._train_batch_basic(jobs)
+            except Exception as e:  # whole-batch failure -> per-read fallback
+                print(f"batched training failed, per-read fallback: {e}",
+                      file=sys.stderr)
+                results = None
+        else:
+            results = None
         for j, job in enumerate(jobs):
             try:
-                trained, new_models, z = self._train_read(job)
+                if results is not None:
+                    r = results[j]
+                    if isinstance(r, Exception):
+                        raise r
+                    trained, new_models, z = r
+                else:
+                    trained, new_models, z = self._train_read(job)
             except Exception as e:
                 print(
                     f"No segmentation calculated for {job.readid} in {epoch}: {e}",

@@ -149,3 +149,42 @@ def test_resquiggle_cli_tsv_ntc_mode(model, tmp_path):
     assert polish - {"NA"}, "polish column should contain k-mers"
     states = {r[7] for r in rows}
     assert states <= {"M", "P"}
+
+
+def test_trainer_batched_equals_per_read(model, tmp_path):
+    """The batched banded training path must produce the same parameter
+    updates as the per-read path."""
+    from dynamont_tpu.io import readers
+    from dynamont_tpu.training.trainer import Trainer
+    from dynamont_tpu.utils.kmer import int2kmer
+    from dynamont_tpu.utils.pore_model import write_kmer_models
+
+    items = []
+    for s in range(3):
+        sig, read_proc = make_read(model, n_bases=25, seed=90 + s)
+        items.append((f"eq{s}", sig, read_proc[9:][::-1]))
+    tsv = tmp_path / "eq.tsv"
+    _write_tsv(tsv, items)
+    model_tsv = tmp_path / "init.model"
+    models = {}
+    for k in range(model.num_kmers):
+        kmer = int2kmer(k, model.alphabet_size, model.kmer_size, model.rna)
+        models[kmer] = (float(model.means[k]), float(model.stdevs[k]))
+    write_kmer_models(model_tsv, models)
+    jobs = list(readers.generate_tsv_jobs(str(tsv), rna=True))
+
+    t1 = Trainer("basic", "rna002", str(tmp_path / "a"), str(model_tsv), batch_size=3)
+    t1.process_batch(jobs, epoch=0)
+    t2 = Trainer("basic", "rna002", str(tmp_path / "b"), str(model_tsv), batch_size=3)
+    t2._train_batch_basic = lambda jobs: (_ for _ in ()).throw(RuntimeError("force per-read"))
+    t2.process_batch(jobs, epoch=0)
+    for p in t1.transition_params:
+        assert t1.transition_params[p] == pytest.approx(
+            t2.transition_params[p], rel=1e-9
+        ), p
+    assert set(t1.kmer_models) == set(t2.kmer_models)
+    diffs = [
+        abs(t1.kmer_models[k][0] - t2.kmer_models[k][0])
+        for k in t1.kmer_models
+    ]
+    assert max(diffs) < 1e-9
