@@ -42,16 +42,21 @@ def evaluate(gt: np.ndarray, pred: np.ndarray, max_distance: int) -> np.ndarray:
             continue
         cur = found[gi]
         pi = min(cur, key=lambda k: abs(cur[k]))
+        # Deviation from the reference: compareTools.py:357-376 re-selects
+        # with `key=lambda k: abs(cur[pi])` after deleting pi from cur — a
+        # KeyError at call time whenever stealing leaves other candidates.
+        # We re-select by the candidate under consideration (abs(cur[k])),
+        # which is the evident intent.
         prev = found[gi - 1] if gi > 0 else {}
         if prev and cur and pi in prev and abs(prev[pi]) <= abs(cur[pi]):
             del cur[pi]
             if cur:
-                pi = min(cur, key=lambda k: abs(cur[pi]))
+                pi = min(cur, key=lambda k: abs(cur[k]))
         nxt = found[gi + 1] if gi < len(gt) - 1 else {}
         if nxt and cur and pi in nxt and abs(nxt[pi]) < abs(cur[pi]):
             del cur[pi]
             if cur:
-                pi = min(cur, key=lambda k: abs(cur[pi]))
+                pi = min(cur, key=lambda k: abs(cur[k]))
         if not cur:
             continue
         d = int(cur[pi])

@@ -15,3 +15,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: XLA compiles of the scan-heavy programs dominate
+# test runtime; cache them across runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

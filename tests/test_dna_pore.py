@@ -9,6 +9,8 @@ from dynamont_tpu.utils.kmer import int2kmer, seq_to_kmer_ids
 
 from tests.synthetic import signal_to_text
 
+pytestmark = [pytest.mark.parity]
+
 
 @pytest.fixture(scope="module")
 def dna_model(tmp_path_factory):

@@ -31,6 +31,27 @@ def test_evaluate_with_offsets():
     assert res[m - 3] >= 1 and res[m + 2] >= 1
 
 
+def test_evaluate_neighbor_stealing_with_remaining_candidates():
+    """The next gt steals the shared prediction; the current gt must
+    re-select among its remaining candidates instead of crashing (the
+    reference's re-selection lambda raises KeyError here,
+    ref: compareTools.py:357-376 — deliberate fix, see evaluate())."""
+    # gt=10: candidates pred 11 (d=-1), 13 (d=-3); gt=11: pred 11 is exact
+    # (d=0) so it steals pred 11 from gt=10, which falls back to pred 13.
+    res = evaluate(np.array([10, 11]), np.array([11, 13]), max_distance=5)
+    assert res[5] == 1          # one exact hit (gt=11)
+    assert res[-1] == 2         # both gts matched within distance 5
+
+
+def test_evaluate_prev_stealing_with_remaining_candidates():
+    """Mirror case: the previous gt keeps the shared prediction."""
+    # gt=10 matched pred 10 exactly; gt=11's best is also pred 10 but the
+    # previous match is closer, so gt=11 falls back to pred 14 (d=-3).
+    res = evaluate(np.array([10, 11]), np.array([10, 14]), max_distance=5)
+    assert res[5] == 1
+    assert res[-1] == 2
+
+
 def test_evaluate_empty_pred():
     assert evaluate(np.array([5, 9]), np.array([]), 3).sum() == 0
 

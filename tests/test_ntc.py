@@ -13,6 +13,8 @@ from dynamont_tpu.ops import ntc_pre
 from tests.ref_oracle import run_reference
 from tests.synthetic import make_read, signal_to_text
 
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
+
 
 @pytest.fixture(scope="module")
 def model():

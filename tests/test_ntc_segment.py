@@ -9,6 +9,8 @@ from dynamont_tpu.models.registry import load_model_for_pore
 from tests.ref_oracle import run_reference
 from tests.synthetic import make_read, signal_to_text
 
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
+
 
 @pytest.fixture(scope="module")
 def model():

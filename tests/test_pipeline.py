@@ -14,6 +14,8 @@ from dynamont_tpu.utils.signal import hampel_filter, prepare_read_sequence
 from tests.ref_oracle import run_reference
 from tests.synthetic import make_read, signal_to_text
 
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
+
 
 @pytest.fixture(scope="module")
 def model():
