@@ -45,6 +45,30 @@ def add_downstream_metrics(rows: list, tool: str, path: str) -> None:
     rows.append((tool, struct_vars, "SVIM structural variants"))
 
 
+def add_score_metrics(rows: list, score_csv: str) -> None:
+    """Per-tool median of each segment-quality score from the
+    signal-scoring CSV (Tool,Score,Segment Quality; produced by
+    compare_tools.score_tools — ref: collectMetrics.py:30-45)."""
+    import csv
+    from collections import defaultdict
+
+    acc: dict = defaultdict(list)
+    with open(score_csv) as f:
+        for row in csv.DictReader(f):
+            try:
+                acc[(row["Tool"], row["Segment Quality"])].append(
+                    float(row["Score"])
+                )
+            except (KeyError, ValueError):
+                continue
+    import statistics
+
+    for (tool, quality), vals in sorted(acc.items()):
+        finite = [v for v in vals if v == v]  # drop NaN
+        if finite:
+            rows.append((tool, statistics.median(finite), quality))
+
+
 def main(argv=None) -> None:
     p = ArgumentParser(prog="dynamont-collect-metrics")
     p.add_argument("--tool", action="append", nargs=2, metavar=("NAME", "JSON"),
@@ -53,6 +77,8 @@ def main(argv=None) -> None:
                    default=[])
     p.add_argument("--downstream", action="append", nargs=2,
                    metavar=("NAME", "FILE"), default=[])
+    p.add_argument("--scores", default=None,
+                   help="signal-scoring CSV (Tool,Score,Segment Quality)")
     p.add_argument("-o", "--output", required=True)
     args = p.parse_args(argv)
 
@@ -63,6 +89,8 @@ def main(argv=None) -> None:
         add_time_metrics(rows, name, path)
     for name, path in args.downstream:
         add_downstream_metrics(rows, name, path)
+    if args.scores:
+        add_score_metrics(rows, args.scores)
     with open(args.output, "w") as f:
         f.write("Tool,Value,Metric\n")
         for tool, value, metric in rows:

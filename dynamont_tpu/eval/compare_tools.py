@@ -177,7 +177,18 @@ def main(argv=None) -> None:
     p.add_argument("--dynamont", default=None, help="dynamont CSV(.zst)")
     p.add_argument("--uncalled4", default=None)
     p.add_argument("--f5c-resquiggle", dest="f5c_resquiggle", default=None)
+    p.add_argument("--tombo", default=None,
+                   help="tombo single-fast5 directory (ref: compareTools.py:44)")
+    p.add_argument("--dorado", default=None,
+                   help="dorado move TSV from dynamont-convert dorado-moves")
     p.add_argument("--max-distance", type=int, default=50)
+    p.add_argument("--controls", action="store_true",
+                   help="also score random/uniform border controls "
+                        "(ref: compareTools.py:464-505)")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--plot", default=None, metavar="PREFIX",
+                   help="write found-ratio / segment-length figures with "
+                        "this path prefix (ref: compareTools.py:799-1203)")
     p.add_argument("-o", "--out", required=True, help="output CSV of ratios")
     args = p.parse_args(argv)
 
@@ -188,32 +199,78 @@ def main(argv=None) -> None:
     with h5py.File(args.gt) as h5:
         gts = {rid: np.asarray(h5[rid]) for rid in h5}
 
+    # each tool maps readid -> sorted border array (tombo natively emits
+    # borders; segment-file tools go through borders_from_segments)
     tools = {}
+    seg_tools = {}
     if args.dynamont:
-        tools["dynamont"] = lambda rid: tool_readers.read_dynamont(args.dynamont, rid)
+        seg_tools["dynamont"] = lambda rid: tool_readers.read_dynamont(
+            args.dynamont, rid)
     if args.uncalled4:
-        tools["uncalled4"] = lambda rid: tool_readers.read_uncalled4(args.uncalled4, rid)
+        seg_tools["uncalled4"] = lambda rid: tool_readers.read_uncalled4(
+            args.uncalled4, rid)
     if args.f5c_resquiggle:
-        tools["f5c_resquiggle"] = lambda rid: tool_readers.read_f5c_resquiggle(
+        seg_tools["f5c_resquiggle"] = lambda rid: tool_readers.read_f5c_resquiggle(
             args.f5c_resquiggle, rid, "", 5
         )
+    if args.dorado:
+        seg_tools["dorado"] = lambda rid: tool_readers.read_dorado(
+            args.dorado, rid)
+    for name, get in seg_tools.items():
+        tools[name] = {}
+        for rid in gts:
+            segs = get(rid)
+            if segs:
+                tools[name][rid] = borders_from_segments(segs)
+    if args.tombo:
+        tombo = tool_readers.read_tombo_borders(args.tombo)
+        tools["tombo"] = {rid: b for rid, b in tombo.items() if rid in gts}
+    if args.controls:
+        # control borders need per-read signal regions; approximate them
+        # from the ground truth span with one border per gt changepoint
+        regions = {
+            rid: [(len(gt), int(np.min(gt)), int(np.max(gt)) + 1)]
+            for rid, gt in gts.items() if len(gt)
+        }
+        rnd, uni = generate_control(regions, seed=args.seed)
+        tools["control_random"] = {r: np.sort(v) for r, v in rnd.items()}
+        tools["control_uniform"] = {r: np.sort(v) for r, v in uni.items()}
 
     rows = ["Tool,AbsoluteDistance,FoundRatio"]
-    for tool, get in tools.items():
+    ratio_by_tool = {}
+    for tool, borders in tools.items():
         total = np.zeros(2 * args.max_distance + 1, dtype=int)
         n_gt = 0
         for rid, gt in gts.items():
-            segs = get(rid)
-            if not segs:
+            pred = borders.get(rid)
+            if pred is None or len(pred) == 0:
                 continue
-            pred = borders_from_segments(segs)
             total += evaluate(gt, pred, args.max_distance)
             n_gt += len(gt)
-        for d, ratio in cumulative_ratio(total, n_gt, args.max_distance):
+        ratios = cumulative_ratio(total, n_gt, args.max_distance)
+        ratio_by_tool[tool] = ratios
+        for d, ratio in ratios:
             rows.append(f"{tool},{d},{ratio}")
     with open(args.out, "w") as f:
         f.write("\n".join(rows) + "\n")
     print(f"wrote {args.out}", file=sys.stderr)
+
+    if args.plot:
+        from dynamont_tpu.eval import figures
+
+        figures.plot_found_ratios(ratio_by_tool, args.plot + "_found_ratio.png")
+        figures.plot_border_upset(
+            tools, gts, args.max_distance, args.plot + "_upset.png"
+        )
+        seg_lengths = {
+            tool: np.concatenate(
+                [np.diff(np.sort(b)) for b in borders.values() if len(b) > 1]
+            ) if borders else np.array([])
+            for tool, borders in tools.items()
+        }
+        figures.plot_segment_length_distributions(
+            seg_lengths, args.plot + "_seglen.png"
+        )
 
 
 if __name__ == "__main__":

@@ -3,6 +3,7 @@ extractDoradoMoves.py)."""
 
 from __future__ import annotations
 
+import os
 import sys
 from argparse import ArgumentParser
 
@@ -90,6 +91,38 @@ def extract_dorado_moves(bam_file: str, outfile: str) -> None:
                 )
 
 
+def tombo_to_fasta(seg_dir: str, rna: bool, outfile: str) -> int:
+    """Rebuild each read's sequence from tombo single-fast5 Events
+    (ref: misc/tomboToFasta.py:44-77): events sorted by start, bases
+    concatenated (U->T), reversed for RNA. Returns #reads written."""
+    import h5py
+
+    from dynamont_tpu.plot.readers import tombo_fast5s
+
+    out = outfile if outfile.endswith(".fasta") else outfile + ".fasta"
+    n = 0
+    with open(out, "w") as fasta:
+        for path in tombo_fast5s(seg_dir):
+            readid = os.path.basename(path).rsplit(".", 1)[0]
+            with h5py.File(path, "r") as f5:
+                try:
+                    events = f5[
+                        "Analyses/RawGenomeCorrected_000/BaseCalled_template/Events"
+                    ][:]
+                except KeyError:
+                    continue
+            segs = sorted(
+                (ev["start"], ev["base"].decode().replace("U", "T"))
+                for ev in events
+            )
+            seq = "".join(b for _, b in segs)
+            if rna:
+                seq = seq[::-1]
+            fasta.write(f">{readid}\n{seq}\n")
+            n += 1
+    return n
+
+
 def main(argv=None) -> None:
     p = ArgumentParser(prog="dynamont-convert")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -101,7 +134,15 @@ def main(argv=None) -> None:
     s2 = sub.add_parser("dorado-moves")
     s2.add_argument("-i", "--input", required=True, help="BAM with mv tags")
     s2.add_argument("-o", "--output", required=True)
+    s3 = sub.add_parser("tombo-to-fasta")
+    s3.add_argument("-i", "--input", required=True, help="tombo single-fast5 dir")
+    s3.add_argument("-o", "--output", required=True)
+    s3.add_argument("--rna", action="store_true")
     args = p.parse_args(argv)
+
+    if args.cmd == "tombo-to-fasta":
+        tombo_to_fasta(args.input, args.rna, args.output)
+        return
 
     if args.cmd == "seg-to-fasta":
         from dynamont_tpu.eval.evaluate_reads import load_fasta

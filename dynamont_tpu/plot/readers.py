@@ -7,7 +7,10 @@ Each reader returns [(start, end, base, motif)] for one read id.
 from __future__ import annotations
 
 import io
+import os
 import sys
+
+import numpy as np
 
 
 def _open_maybe_zst(path: str):
@@ -105,3 +108,41 @@ def read_dorado(path: str, readid: str) -> list:
             rid, signalid, _, base, motif, start, end = line.strip().split("\t")
             segments.append((int(start), int(end), base, motif))
     return segments
+
+
+def tombo_fast5s(directory: str) -> list:
+    """Recursively collect single-read .fast5 files (ref:
+    compareTools.py:190-213 getFast5s)."""
+    from pathlib import Path
+
+    return sorted(str(p) for p in Path(directory).rglob("*.fast5"))
+
+
+def read_tombo_borders(directory: str) -> dict:
+    """Tombo resquiggle borders per read from a single-fast5 directory
+    (ref: compareTools.py:215-243 readTombo). Tombo stores RNA events in
+    genome direction, so border indices are mirrored back into sequencing
+    time with signalLen - border - 1.
+
+    Returns {readid: sorted np.ndarray of signal border positions}."""
+    import h5py
+
+    out = {}
+    for path in tombo_fast5s(directory):
+        readid = os.path.basename(path).split(".")[0]
+        with h5py.File(path, "r") as h5:
+            try:
+                grp = h5["Analyses/RawGenomeCorrected_000/BaseCalled_template"]
+                if grp.attrs.get("status") == "Alignment not produced":
+                    continue
+                raw = h5["Raw/Reads"]
+                signal_len = len(raw[list(raw.keys())[0]]["Signal"][:])
+                events = grp["Events"]
+                starts = events[:]["start"] + events.attrs["read_start_rel_to_raw"]
+                ends = starts + events[:]["length"]
+                borders = np.unique((starts, ends))
+                borders = signal_len - borders - 1  # RNA mirror
+            except KeyError:
+                continue
+        out.setdefault(readid, set()).update(borders.tolist())
+    return {rid: np.asarray(sorted(b)) for rid, b in out.items()}

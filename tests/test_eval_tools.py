@@ -194,3 +194,144 @@ def test_downstream_eval(tmp_path):
     rows = []
     add_downstream_metrics(rows, "dynamont", str(out))
     assert ("dynamont", 4000, "flye n50") in rows
+
+
+def _write_tombo_fast5(path, readid, starts, lengths, bases, signal_len):
+    import h5py
+
+    with h5py.File(path, "w") as f5:
+        grp = f5.create_group(
+            "Analyses/RawGenomeCorrected_000/BaseCalled_template"
+        )
+        grp.attrs["status"] = "success"
+        grp.attrs["read_start_rel_to_raw"] = 0
+        ev = np.zeros(
+            len(starts),
+            dtype=[("start", "<i8"), ("length", "<i8"), ("base", "S1")],
+        )
+        ev["start"] = starts
+        ev["length"] = lengths
+        ev["base"] = bases
+        ds = grp.create_dataset("Events", data=ev)
+        ds.attrs["read_start_rel_to_raw"] = 10
+        raw = f5.create_group(f"Raw/Reads/Read_{readid}")
+        raw.create_dataset("Signal", data=np.zeros(signal_len, np.int16))
+
+
+def test_tombo_reader_and_fasta(tmp_path):
+    """read_tombo_borders mirrors RNA event borders into sequencing time
+    (ref: compareTools.py:215-243); tombo_to_fasta rebuilds the sequence."""
+    from dynamont_tpu.eval.converters import tombo_to_fasta
+    from dynamont_tpu.plot.readers import read_tombo_borders
+
+    d = tmp_path / "f5"
+    d.mkdir()
+    _write_tombo_fast5(
+        d / "readX.fast5", "readX",
+        starts=[0, 5, 12], lengths=[5, 7, 8], bases=[b"A", b"U", b"G"],
+        signal_len=100,
+    )
+    borders = read_tombo_borders(str(d))
+    assert "readX" in borders
+    # starts+offset(10) = 10,15,22; ends = 15,22,30 -> unique {10,15,22,30}
+    # mirrored: 100 - b - 1
+    assert set(borders["readX"]) == {100 - b - 1 for b in (10, 15, 22, 30)}
+
+    out = tmp_path / "out"
+    n = tombo_to_fasta(str(d), rna=True, outfile=str(out))
+    assert n == 1
+    txt = (tmp_path / "out.fasta").read_text()
+    assert txt == ">readX\nGTA\n"  # A,U->T,G sorted by start then reversed
+
+
+def test_compare_tools_main_with_tombo_dorado_controls(tmp_path):
+    import h5py
+
+    from dynamont_tpu.eval.compare_tools import main
+
+    with h5py.File(tmp_path / "gt.h5", "w") as h5:
+        h5.create_dataset("readX", data=np.array([20, 50, 80]))
+    # dorado TSV matching read_dorado's columns
+    dor = tmp_path / "dorado.tsv"
+    dor.write_text(
+        "readid\tsignalid\tposition\tbase\tmotif\tstart\tend\n"
+        + "".join(
+            f"readX\tsig\t{i}\tA\tAAAAA\t{s}\t{e}\n"
+            for i, (s, e) in enumerate([(18, 49), (49, 81), (81, 95)])
+        )
+    )
+    f5dir = tmp_path / "f5"
+    f5dir.mkdir()
+    _write_tombo_fast5(
+        f5dir / "readX.fast5", "readX",
+        starts=[9, 39, 69], lengths=[30, 30, 19], bases=[b"A", b"C", b"G"],
+        signal_len=100,
+    )
+    out = tmp_path / "ratios.csv"
+    main([
+        "--gt", str(tmp_path / "gt.h5"), "--dorado", str(dor),
+        "--tombo", str(f5dir), "--controls", "--max-distance", "5",
+        "--plot", str(tmp_path / "fig"), "-o", str(out),
+    ])
+    txt = out.read_text()
+    for tool in ("dorado", "tombo", "control_random", "control_uniform"):
+        assert tool in txt, txt
+    # dorado borders 18,49,81 are within 2 of every gt changepoint
+    assert "dorado,5,1.0" in txt
+    for suffix in ("_found_ratio.png", "_upset.png", "_seglen.png"):
+        assert (tmp_path / f"fig{suffix}").exists()
+
+
+def test_paper_figures(tmp_path):
+    from dynamont_tpu.eval.paper_figures import (
+        aggregated_scores, load_metrics, main,
+    )
+
+    csv = tmp_path / "metrics.csv"
+    csv.write_text(
+        "Tool,Value,Metric\n"
+        "dynamont,0.5,median delta\ndynamont,90,present\n"
+        "dynamont,0.2,homogeneity\n"
+        "f5c,0.4,median delta\nf5c,80,present\nf5c,0.4,homogeneity\n"
+    )
+    df = load_metrics(str(csv))
+    assert "Metric Score" in df.columns
+    # homogeneity is cost-like: smaller -> higher score
+    h = df[df["Metric"] == "homogeneity"].set_index("Tool")["Metric Score"]
+    assert h["dynamont"] > h["f5c"]
+    agg = aggregated_scores(df)
+    assert set(agg.index) == {"dynamont", "f5c"}
+
+    tex = tmp_path / "out.tex"
+    main(["tex", "-i", str(csv), "-o", str(tex)])
+    body = tex.read_text()
+    assert "cellcolor" in body and "aggregated metric score" in body
+
+    hm = tmp_path / "hm.png"
+    main(["heatmap", "-d", "ds1", str(csv), "-d", "ds2", str(csv),
+          "-o", str(hm)])
+    assert hm.exists()
+
+    score_csv = tmp_path / "scores.csv"
+    score_csv.write_text(
+        "Tool,Score,Segment Quality\n"
+        "dynamont,0.4,Median Delta\ndynamont,0.1,Homogeneity\n"
+        "f5c,0.3,Median Delta\nf5c,0.2,Homogeneity\n"
+    )
+    main(["datasets", "-d", "ds1", str(score_csv), "-o",
+          str(tmp_path / "cmp")])
+    assert (tmp_path / "cmp_contrast.png").exists()
+    assert (tmp_path / "cmp_homogeneity.png").exists()
+
+
+def test_collect_metrics_scores_option(tmp_path):
+    from dynamont_tpu.eval import collect_metrics
+
+    score_csv = tmp_path / "scores.csv"
+    score_csv.write_text(
+        "Tool,Score,Segment Quality\n"
+        "dynamont,0.5,Median Delta\ndynamont,0.7,Median Delta\n"
+    )
+    out = tmp_path / "metrics.csv"
+    collect_metrics.main(["--scores", str(score_csv), "-o", str(out)])
+    assert "dynamont,0.6,Median Delta" in out.read_text()
