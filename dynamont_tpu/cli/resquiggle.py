@@ -65,7 +65,7 @@ def main(argv=None) -> None:
         from dynamont_tpu.parallel.mesh import init_distributed
         import jax
 
-        init_distributed()
+        init_distributed(required=True)
         rank, world = jax.process_index(), jax.process_count()
         if world > 1:
             outfile = f"{args.outfile}.rank{rank}"
