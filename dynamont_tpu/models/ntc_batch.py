@@ -1,0 +1,289 @@
+"""Batched NTC (resquiggle) engine: buckets reads into padded shapes and
+runs the whole 5-state error-correcting pipeline as one device program per
+bucket (the production TPU path for the mode the tool is named for;
+replaces per-read `dynamont-NTC` child processes, ref: NTC_main.cpp:8-235 +
+segment.py:292-317).
+
+Escalation mirrors the reference's implicit behavior: the reference's
+hash-map lattice has no candidate cap, so reads whose 95%-mass columns
+exceed this engine's static caps are re-run through the exact per-read
+fp64 path (models/ntc.run_ntc, which escalates its own CAP_LADDER).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamont_tpu.constants import (
+    EPSILON, NT_TRANSITIONS, NTK_TRANSITIONS, resolve_transitions,
+)
+from dynamont_tpu.models.batch import BatchItem, BatchOutput
+from dynamont_tpu.models.nt import _validate
+from dynamont_tpu.ops import ntc_batch as nb
+from dynamont_tpu.ops import ntc_walk as nw
+from dynamont_tpu.utils.kmer import int2kmer, seq_to_kmer_ids
+from dynamont_tpu.utils.pore_model import PoreModel
+
+FP32_EPSILON = 1e-6  # per-cell Z tolerance for fp32 (see BASELINE.md)
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_ntc_batch_fn(model: PoreModel, pore: str,
+                      transition_overrides: dict | None = None,
+                      dtype=jnp.float32):
+    """Jitted bucket program: (sig, kmer_ids, T, N) -> per-read summaries.
+
+    Transitions are static (baked into the program); model tables are jit
+    arguments (XLA constant-folds gathers from closure constants)."""
+    ntk = resolve_transitions(NTK_TRANSITIONS[pore], transition_overrides)
+    trans_log = {k: math.log(v) for k, v in ntk.items()}
+    nt = NT_TRANSITIONS[pore]
+    log_ppm, log_ppe = math.log(nt["m1"]), math.log(nt["e2"])
+    means, c1, c2 = model.score_params()
+    means_t = jax.device_put(jnp.asarray(means, dtype))
+    sd_t = jax.device_put(jnp.asarray(model.stdevs, dtype))
+    c1_t = jax.device_put(jnp.asarray(c1, dtype))
+    c2_t = jax.device_put(jnp.asarray(c2, dtype))
+    A = model.alphabet_size
+    S = model.kmer_size
+    K = model.num_kmers
+
+    @functools.partial(jax.jit, static_argnames=("CN", "CK0", "S_max"))
+    def run(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a, CN, CK0, S_max):
+        pn = nb.pre_tn_batch(
+            sig, kmer_ids, N_r, T_r, mu, sd, log_ppm, log_ppe, CN, dtype
+        )
+        pk = nb.pre_tk_batch(
+            sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0, dtype
+        )
+        plan, dims = nb.build_plan_batch(
+            pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
+            mu, c1a, c2a, A, S, dtype,
+        )
+        sigd = sig.astype(dtype)
+        Zf3, finalE = nb.ntc_forward_z_batch(
+            plan, dims, sigd, trans_log, N_r, T_r, S, dtype
+        )
+        bwd = nb.ntc_backward_batch(
+            plan, dims, sigd, trans_log, N_r, T_r, S, dtype
+        )
+        _, Zb3 = nb.ntc_z_batch(plan, dims, finalE, bwd[0], N_r, T_r)
+        lp, choices, apE_final = nb.ntc_posterior_viterbi_batch(
+            plan, dims, sigd, bwd, Zf3, trans_log, N_r, T_r, S, dtype
+        )
+        i0, j0, k0, valid = nw.start_slots(plan, dims, apE_final, N_r, T_r)
+        seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = nw.ntc_walk_batch(
+            plan, dims, lp, choices, N_r, T_r, i0, j0, k0, valid, K, S, S_max
+        )
+        return dict(
+            Zf_tn=pn.Zf, Zb_tn=pn.Zb, ovf_tn=pn.overflow,
+            Zf_tk=pk.Zf, Zb_tk=pk.Zb, ovf_tk=pk.overflow,
+            Zf=Zf3, Zb=Zb3, valid_start=valid,
+            seg_cnt=seg_cnt, seg_state=st_a, seg_bp=bp_a,
+            seg_start=start_a, seg_k=k_a, seg_med=med, seg_ovf=seg_ovf,
+        )
+
+    def call(sig, kmer_ids, T_r, N_r, CN: int, CK0: int, S_max: int):
+        return run(sig, kmer_ids, T_r, N_r, means_t, sd_t, c1_t, c2_t,
+                   CN=CN, CK0=CK0, S_max=S_max)
+
+    return call
+
+
+class NTCBatchEngine:
+    """Production NTC segmentation over arbitrary read lists (bucketed,
+    fp32 by default). Interface mirrors models.batch.BandedBatchEngine."""
+
+    def __init__(
+        self,
+        model: PoreModel,
+        pore: str,
+        transition_overrides: dict | None = None,
+        dtype=jnp.float32,
+        batch_size: int = 16,
+        max_batch_samples: int = 2_000_000,
+        t_pad_to: int = 2048,
+        n_pad_to: int = 256,
+        cap_n: int = 8,
+        cap_k: int = 64,  # measured: TK 95%-mass columns need up to ~60
+                          # candidates at T=16k on synthetic RNA002 reads
+        fallback: bool = True,
+    ):
+        if model.kmer_size > 5:
+            # documented 9-mer fallback: NTC runs on the reduced 5-mer
+            # tables (utils.pore_model.reduce_model_to_5mer; the dense TK
+            # pre-pass is impractical at K=4^9 for production reads)
+            from dynamont_tpu.utils.pore_model import reduce_model_to_5mer
+
+            print(
+                f"NTC: reducing {model.kmer_size}-mer model to 5-mer "
+                "(ref: models/9merTo5mer.py)", file=sys.stderr,
+            )
+            model = reduce_model_to_5mer(model)
+        self.model = model
+        self.pore = pore
+        self.overrides = transition_overrides
+        self.dtype = dtype
+        self.batch_size = batch_size
+        self.max_batch_samples = max_batch_samples
+        self.t_pad_to = t_pad_to
+        self.n_pad_to = n_pad_to
+        self.cap_n = cap_n
+        self.cap_k = cap_k
+        self.fallback = fallback
+        self._fn = make_ntc_batch_fn(model, pore, transition_overrides, dtype)
+        self._eps = EPSILON if jnp.dtype(dtype) == jnp.float64 else FP32_EPSILON
+
+    # -- batching ----------------------------------------------------------
+    def _buckets(self, idxs, items):
+        order = sorted(idxs, key=lambda i: len(items[i].signal))
+        group: list[int] = []
+        for idx in order:
+            if group:
+                t_pad = round_up(len(items[idx].signal) + 1, self.t_pad_to)
+                if (
+                    len(group) >= self.batch_size
+                    or t_pad * (len(group) + 1) > self.max_batch_samples
+                ):
+                    yield group
+                    group = []
+            group.append(idx)
+        if group:
+            yield group
+
+    # -- execution ---------------------------------------------------------
+    def run(self, items: list[BatchItem]) -> list[BatchOutput]:
+        outputs: list[BatchOutput | None] = [None] * len(items)
+        valid: list[int] = []
+        for i, it in enumerate(items):
+            try:
+                _validate(len(it.signal), len(it.read), self.model.kmer_size)
+            except SystemExit as e:
+                outputs[i] = BatchOutput(
+                    it, None, math.nan,
+                    f"input validation failed (reference exit {e.code})",
+                )
+                continue
+            valid.append(i)
+
+        pending = [
+            self._dispatch(gidx, items) for gidx in self._buckets(valid, items)
+        ]
+        retry: list[int] = []
+        for bucket in pending:
+            retry += self._collect(bucket, items, outputs)
+        for i in retry:
+            outputs[i] = self._run_exact(items[i])
+        return outputs  # type: ignore[return-value]
+
+    def _dispatch(self, gidx, items):
+        R = len(gidx)
+        T_arr = np.array([len(items[i].signal) + 1 for i in gidx], np.int32)
+        kmer_ids = [
+            np.asarray(
+                seq_to_kmer_ids(items[i].read, self.model.kmer_size,
+                                self.model.alphabet_size), np.int32,
+            )
+            for i in gidx
+        ]
+        N_arr = np.array([len(k) + 1 for k in kmer_ids], np.int32)
+        T_pad = round_up(int(T_arr.max()), self.t_pad_to)
+        N2 = round_up(int(N_arr.max()), self.n_pad_to)
+        sig = np.zeros((R, T_pad - 1), np.float32)
+        kid = np.zeros((R, N2 - 1), np.int32)
+        for j, i in enumerate(gidx):
+            sig[j, : T_arr[j] - 1] = items[i].signal
+            kid[j, : N_arr[j] - 1] = kmer_ids[j]
+        # segment cap: one per base plus polish slack (overflow -> fallback)
+        S_max = round_up(N2 + N2 // 4 + 64, 128)
+        res = self._fn(
+            jnp.asarray(sig), jnp.asarray(kid), jnp.asarray(T_arr),
+            jnp.asarray(N_arr), CN=self.cap_n, CK0=self.cap_k, S_max=S_max,
+        )
+        return gidx, T_arr, N_arr, res
+
+    def _collect(self, bucket, items, outputs) -> list[int]:
+        gidx, T_arr, N_arr, res = bucket
+        host = {k: np.asarray(v) for k, v in res.items()}
+        K = self.model.num_kmers
+        retry: list[int] = []
+        for j, i in enumerate(gidx):
+            it = items[i]
+            T, N = int(T_arr[j]), int(N_arr[j])
+            if (
+                host["ovf_tn"][j] or host["ovf_tk"][j] or host["seg_ovf"][j]
+                or not host["valid_start"][j]
+            ):
+                retry.append(i)
+                continue
+            err = self._z_errors(host, j, T, N, K)
+            if err is not None:
+                outputs[i] = BatchOutput(it, None, float(host["Zf"][j]), err)
+                continue
+            segs = self._format_segments(host, j)
+            outputs[i] = BatchOutput(it, segs, float(host["Zf"][j]))
+        return retry
+
+    def _z_errors(self, host, j, T, N, K):
+        checks = (
+            ("preProcTN", host["Zf_tn"][j], host["Zb_tn"][j], T * N, 1),
+            ("preProcTK", host["Zf_tk"][j], host["Zb_tk"][j], T * K, 2),
+            ("matrices", host["Zf"][j], host["Zb"][j], T * N * K, 3),
+        )
+        for name, zf, zb, cells, _code in checks:
+            zf, zb = float(zf), float(zb)
+            bad = (
+                math.isinf(zf) or math.isinf(zb)
+                or abs(zf - zb) / cells > self._eps
+            )
+            if bad:
+                return (
+                    f"Z values of {name} do not match! Zf: {zf}, Zb: {zb}"
+                    if name != "matrices"
+                    else f"Z values between matrices do not match! forZ: {zf}, backZ: {zb}"
+                )
+        return None
+
+    def _format_segments(self, host, j):
+        """Device summaries -> per-read segment tuples in read order,
+        matching models/ntc.run_ntc: (state, basepos, start_t, prob,
+        polish_kmer_str)."""
+        cnt = int(host["seg_cnt"][j])
+        m = self.model
+        segs = []
+        for s in range(cnt - 1, -1, -1):
+            segs.append((
+                "P" if host["seg_state"][j, s] else "M",
+                int(host["seg_bp"][j, s]),
+                int(host["seg_start"][j, s]),
+                float(host["seg_med"][j, s]),
+                int2kmer(int(host["seg_k"][j, s]), m.alphabet_size,
+                         m.kmer_size, m.rna),
+            ))
+        return segs
+
+    def _run_exact(self, it: BatchItem) -> BatchOutput:
+        """Exact per-read fp64 fallback for cap-overflow reads."""
+        if not self.fallback:
+            return BatchOutput(
+                it, None, math.nan, "candidate cap overflow (no fallback)"
+            )
+        from dynamont_tpu.models.ntc import (
+            NTCPreprocessError, NTCZError, run_ntc,
+        )
+
+        try:
+            res = run_ntc(it.signal, it.read, self.model, self.pore,
+                          self.overrides)
+            return BatchOutput(it, res.segments, res.Z)
+        except (NTCPreprocessError, NTCZError) as e:
+            return BatchOutput(it, None, math.nan, str(e))

@@ -169,6 +169,28 @@ def reduce_cli(argv=None) -> None:
     write_kmer_models(args.output, reduce_9mer_to_5mer(read_kmer_models(args.input)))
 
 
+def reduce_model_to_5mer(model: PoreModel) -> PoreModel:
+    """In-memory 9-mer -> 5-mer reduction of a loaded PoreModel (same math
+    as the TSV-level reduce_9mer_to_5mer; ref: models/9merTo5mer.py:6-50).
+
+    Used as the documented NTC fallback for 9-mer pores: the NTC TK
+    pre-pass is dense over K = 4^kmer_size columns (ref:
+    NTC_main.cpp:95-99), which is impractical at K=262144 for
+    production-length reads — the reference project itself ships reduced
+    5-mer tables (models/rna/rna004/rna004_5mer.model) for this reason.
+    """
+    from dynamont_tpu.utils.kmer import int2kmer
+
+    if model.kmer_size <= 5:
+        return model
+    d = {
+        int2kmer(k, model.alphabet_size, model.kmer_size, model.rna):
+            (float(model.means[k]), float(model.stdevs[k]))
+        for k in range(model.num_kmers)
+    }
+    return pore_model_from_dict(reduce_9mer_to_5mer(d), model.rna)
+
+
 def reduce_9mer_to_5mer(models9: dict[str, tuple[float, float]]) -> dict[str, tuple[float, float]]:
     """Average 9-mer Gaussians over the middle 5 bases -> 5-mer model.
 
