@@ -1,83 +1,209 @@
-"""Headline benchmark: banded-mode resquiggling throughput (reads/s).
+"""Benchmarks: banded (basic) segmentation, NTC resquiggle, sharded training.
 
-Workload: a stream of 64 synthetic RNA002 reads shaped like production data
-(~1.8k bases, mean dwell 9, T = 16k samples), segmented end-to-end through
-the batched banded engine (host prep + wire H2D + Mosaic DP kernels + device
-traceback walk + D2H summaries), fp32; buckets of 16 pipeline against each
-other via async dispatch.
+Workloads are synthetic RNA002 reads shaped like production data (~1.8k
+bases, mean dwell 9, T = 16k samples). Baselines are the reference C++
+binaries measured single-core on this machine (see BASELINE.md):
 
-Baseline: the reference C++ `dynamont-NT-banded -t 1` measured on identical
-synthetic reads on this machine's host CPU: 1.35 s/read median => 0.74
-reads/s (3 reads, T~=16.2k, N=1810, band 403; see BASELINE.md measurement
-protocol). vs_baseline = our reads/s / 0.74.
+    dynamont-NT-banded -t 1 : 0.75 reads/s   (T~16k, N=1810, band 403)
+    dynamont-NTC       -t 1 : 0.072 reads/s  (13.9 s/read, same shape)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON metric line per benchmark, headline (banded) first, and
+writes all of them to BENCH_EXTRA.json. DYNAMONT_BENCH_FAST=1 runs only the
+headline metric.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-REF_READS_PER_S = 0.75  # single-core reference C++, same workload scaled to
-                        # the trimmed T=16000 (1.35 s/read at T=16.3k median)
+REF_BANDED_READS_PER_S = 0.75   # reference single-core basic mode
+REF_NTC_READS_PER_S = 0.072     # reference single-core NTC (13.9 s/read)
 
 N_READS = 64
 N_BASES = 1800
 MEAN_DWELL = 9.0
+T_TRIM = 16000
+BAND_B = 403  # reference band width at -b 400
 
 
-def main() -> None:
-    import os
+def _force(x):
+    import numpy as np
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    return np.asarray(x).ravel()[:1]
+
+
+def bench_banded(model, items, metrics):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from dynamont_tpu.models.batch import BandedBatchEngine
 
-    from dynamont_tpu.models.batch import BandedBatchEngine, BatchItem
-    from dynamont_tpu.models.registry import load_model_for_pore
-    from dynamont_tpu.utils.synthetic import make_read
-
-    model = load_model_for_pore("rna002")
-    items = []
-    for s in range(N_READS):
-        sig, read = make_read(model, n_bases=N_BASES, mean_dwell=MEAN_DWELL, seed=s)
-        # uniform signal length -> one padded bucket shape -> one XLA/Mosaic
-        # compile during warmup (cold compiles cost minutes per shape)
-        items.append(BatchItem(sig[:16000], read))
-    total_samples = sum(len(it.signal) for it in items)
     eng = BandedBatchEngine(
         model, "rna002", dtype=jnp.float32, batch_size=16,
         max_batch_samples=2**22, t_pad_to=2048,
     )
-
-    # warmup: one bucket covers the single padded shape
     warm = eng.run(items[:16])
     n_err = sum(1 for o in warm if o.error is not None)
     if n_err:
-        print(f"warmup errors: {n_err}/{len(warm)}", file=sys.stderr)
+        print(f"banded warmup errors: {n_err}/{len(warm)}", file=sys.stderr)
 
     t0 = time.perf_counter()
     outs = eng.run(items)
     dt = time.perf_counter() - t0
     n_ok = sum(1 for o in outs if o.error is None)
     reads_per_s = n_ok / dt
+    total_samples = sum(len(it.signal) for it in items)
+    # DP cells: T x B band cells per wavefront pass; fwd + bwd + fused
+    # posterior/Viterbi = 3 passes (the walk revisits 1 cell/row)
+    cells = 3 * total_samples * BAND_B
     print(
-        f"segmented {n_ok}/{len(outs)} reads in {dt:.2f}s "
-        f"({total_samples/dt/1e6:.1f}M samples/s, device={jax.devices()[0].platform})",
+        f"banded: {n_ok}/{len(outs)} reads in {dt:.2f}s "
+        f"({total_samples / dt / 1e6:.1f}M samples/s, "
+        f"{cells / dt / 1e9:.1f}G cells/s, device={jax.devices()[0].platform})",
         file=sys.stderr,
     )
-    print(json.dumps({
-        "metric": "banded_resquiggle_throughput",
+    metrics.append({
+        "metric": "banded_segmentation_throughput",
         "value": round(reads_per_s, 3),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / REF_READS_PER_S, 1),
-    }))
+        "vs_baseline": round(reads_per_s / REF_BANDED_READS_PER_S, 1),
+    })
+    metrics.append({
+        "metric": "banded_dp_cells_per_s",
+        "value": round(cells / dt / 1e9, 2),
+        "unit": "Gcells/s",
+        "vs_baseline": round(
+            (cells / dt) / (REF_BANDED_READS_PER_S * 3 * T_TRIM * BAND_B), 1
+        ),
+    })
+
+
+def bench_ntc(model, items, metrics):
+    import jax.numpy as jnp
+
+    from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+
+    eng = NTCBatchEngine(
+        model, "rna002", dtype=jnp.float32, batch_size=8,
+        max_batch_samples=2**21, fallback=False,
+    )
+    n = 16
+    warm = eng.run(items[:8])
+    t0 = time.perf_counter()
+    outs = eng.run(items[8:8 + n])
+    dt = time.perf_counter() - t0
+    n_ok = sum(1 for o in outs if o.error is None)
+    n_ovf = sum(
+        1 for o in outs if o.error is not None and "overflow" in o.error
+    )
+    # throughput counts every completed read; overflow reads re-run on the
+    # exact path in production (fallback disabled here to keep the metric a
+    # pure device number) — report the overflow share alongside
+    reads_per_s = len(outs) / dt * (n_ok / max(1, len(outs)))
+    print(
+        f"ntc: {n_ok}/{len(outs)} reads ok ({n_ovf} cap-overflow) in "
+        f"{dt:.2f}s", file=sys.stderr,
+    )
+    metrics.append({
+        "metric": "ntc_resquiggle_throughput",
+        "value": round(reads_per_s, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / REF_NTC_READS_PER_S, 1),
+    })
+
+
+def bench_train(model, items, metrics):
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynamont_tpu.constants import NT_TRANSITIONS
+    from dynamont_tpu.ops import nt_banded_batch as bb
+    from dynamont_tpu.parallel import make_mesh, make_sharded_train_step
+    from dynamont_tpu.parallel.train_step import shard_batch_for_mesh
+    from dynamont_tpu.utils.kmer import seq_to_kmer_ids
+
+    # reference default batch_size=24 (train.py:61-64)
+    reads = items[:24]
+    kids = [
+        seq_to_kmer_ids(it.read, model.kmer_size, model.alphabet_size)
+        for it in reads
+    ]
+    batch = bb.prepare_batch(
+        [it.signal for it in reads], kids, model.means, model.stdevs,
+        dtype=jnp.float32, t_pad_to=2048,
+    )
+    N_max = max(len(k) for k in kids) + 1
+    kid_pad = np.zeros((len(kids), N_max - 1), np.int32)
+    for i, k in enumerate(kids):
+        kid_pad[i, : len(k)] = k
+    mesh = make_mesh(len(jax.devices()))
+    sbatch, skid, n_real = shard_batch_for_mesh(batch, kid_pad, mesh)
+    trans = NT_TRANSITIONS["rna002"]
+    step = make_sharded_train_step(
+        mesh, trans["m1"], trans["e2"], model.num_kmers,
+        pad=sbatch.pad, B=sbatch.B, dtype=jnp.float32,
+    )
+    out = step(sbatch, skid)  # warmup/compile
+    _force(out.pooled.n_valid)
+    t0 = time.perf_counter()
+    out = step(sbatch, skid)
+    _force(out.pooled.n_valid)
+    dt = time.perf_counter() - t0
+    reads_per_s = n_real / dt
+    print(f"train: {n_real} reads/step in {dt:.2f}s", file=sys.stderr)
+    metrics.append({
+        "metric": "train_step_throughput",
+        "value": round(reads_per_s, 3),
+        "unit": "reads/s",
+        # reference --train runs the same banded DP + estimate pass per
+        # read; its single-core segmentation rate is the closest baseline
+        "vs_baseline": round(reads_per_s / REF_BANDED_READS_PER_S, 1),
+    })
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dynamont_tpu.models.batch import BatchItem
+    from dynamont_tpu.models.registry import load_model_for_pore
+    from dynamont_tpu.utils.synthetic import make_read
+
+    model = load_model_for_pore("rna002")
+    items = []
+    for s in range(N_READS):
+        sig, read = make_read(model, n_bases=N_BASES, mean_dwell=MEAN_DWELL,
+                              seed=s)
+        # uniform signal length -> one padded bucket shape per engine
+        items.append(BatchItem(sig[:T_TRIM], read))
+
+    metrics: list = []
+    bench_banded(model, items, metrics)
+    if os.environ.get("DYNAMONT_BENCH_FAST") != "1":
+        try:
+            bench_ntc(model, items, metrics)
+        except Exception as e:  # keep the headline metric alive
+            print(f"ntc bench failed: {e}", file=sys.stderr)
+        try:
+            bench_train(model, items, metrics)
+        except Exception as e:
+            print(f"train bench failed: {e}", file=sys.stderr)
+
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "BENCH_EXTRA.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    for m in metrics:
+        print(json.dumps(m))
 
 
 if __name__ == "__main__":

@@ -144,24 +144,40 @@ def _run_basic(args, model, jobs, writer, rna):
 
 
 def _run_resquiggle(args, model, jobs, writer, rna):
-    from dynamont_tpu.models.ntc import (
-        NTCPreprocessError, NTCZError, run_ntc,
+    """NTC (resquiggle) mode through the batched device engine; cap-overflow
+    reads transparently re-run on the exact per-read path inside the
+    engine (models/ntc_batch)."""
+    import jax.numpy as jnp
+
+    from dynamont_tpu.models.batch import BatchItem
+    from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+
+    eng = NTCBatchEngine(
+        model, args.pore, dtype=jnp.float32, batch_size=args.batch_size,
     )
+    chunk: list = []
+    CHUNK = args.batch_size * 4
+
+    def flush():
+        if not chunk:
+            return
+        outs = eng.run([BatchItem(j.signal, j.read, j) for j in chunk])
+        for o in outs:
+            job = o.item.meta
+            if o.error is not None:
+                writer.put_error(
+                    f"error: {o.error}\tT: {len(job.signal)}"
+                    f"\tN: {len(job.read)}\tRid: {job.readid}\tSid: {job.signalid}"
+                )
+            else:
+                _emit(writer, job, o.segments, model, rna)
+        chunk.clear()
 
     for job in jobs:
-        try:
-            res = run_ntc(job.signal, job.read, model, args.pore)
-            _emit(writer, job, res.segments, model, rna)
-        except (NTCPreprocessError, NTCZError) as e:
-            writer.put_error(
-                f"error: {e.exit_code}, {e}\tT: {len(job.signal)}"
-                f"\tN: {len(job.read)}\tRid: {job.readid}\tSid: {job.signalid}"
-            )
-        except SystemExit as e:
-            writer.put_error(
-                f"error: {e.code}, input validation\tT: {len(job.signal)}"
-                f"\tN: {len(job.read)}\tRid: {job.readid}\tSid: {job.signalid}"
-            )
+        chunk.append(job)
+        if len(chunk) >= CHUNK:
+            flush()
+    flush()
 
 
 if __name__ == "__main__":

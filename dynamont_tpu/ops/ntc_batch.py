@@ -1,0 +1,897 @@
+"""Batched, bucketed NTC (resquiggle) pipeline — the production TPU path.
+
+The per-read NTC path (ops/ntc_pre, ops/ntc_dp) is exact fp64 and re-traces
+per (T, N, cap) shape; this module runs a whole padded bucket of reads per
+compiled program in fp32 (dtype-parametric), mirroring the banded "basic"
+mode design (ops/nt_banded_batch / nt_banded_device):
+
+* one static shape per bucket: (R, T_pad, N2, K, CN, CK0) — reads are
+  padded with per-read true (T, N) masks, so XLA compiles a handful of
+  programs for an entire dataset;
+* all big tensors are scan-major (T, R, ...) and live only on device;
+* memory is streamed, never held twice: each 2D pre-pass stores ONE
+  direction and fuses the posterior combination + per-column candidate
+  selection into the opposite-direction scan (ref: NTC.cpp:229-349 does
+  forward+backward+columnArgsort per pass); the 3D DP stores the backward
+  lattice once, then a second forward scan emits posteriors + Viterbi
+  choice bits on the fly (fwd values are recomputed, which is cheaper than
+  storing them at TPU HBM bandwidth);
+* the candidate selection (keep top cells per column covering 95%
+  posterior mass, ref: NTC.hpp:29, NTC.cpp:260-270,328-341) becomes a
+  per-column top-k + running-logsumexp crossing test with a static cap;
+  reads whose columns overflow the cap are flagged and re-run by the
+  engine (bigger caps / exact per-read path);
+* the sequential 5-state traceback runs on device (ops/ntc_walk) over the
+  stored choice bits, so only per-segment summaries cross the host link.
+
+Reference: the sparse 3D DP semantics follow src/cpp/NTC.cpp:417-578 via
+the candidate-slot layout documented in ops/ntc_dp.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamont_tpu.ops.ntc_dp import NTCPlan, hamming2
+from dynamont_tpu.ops.ntc_pre import SPARSE_THRESHOLD
+from dynamont_tpu.utils.logmath import logsumexp
+
+NEG_INF = -jnp.inf
+
+# state indices (ref: NTC.cpp:699-703)
+A_ST, P_ST, S_ST, E_ST, I_ST = 0, 1, 2, 3, 4
+
+
+# ---------------------------------------------------------------------------
+# per-column candidate selection (fused into the pre-pass scans)
+# ---------------------------------------------------------------------------
+
+def select_topk(U, cap: int, ge_break: bool, col_live, sentinel: int):
+    """Reference column selection on unnormalized posteriors.
+
+    U: (R, W) combined log-probs f+b (unnormalized). The 95%-mass crossing
+    (ref: NTC.cpp:266-270 '>' for TN, :337-341 '>=' for TK) is tested
+    against the COLUMN's own logsumexp rather than the global Z the
+    reference divides by: they are equal by the forward-backward identity,
+    but the global Z drifts from the per-column sums by ~0.5 nats in fp32
+    over ~16k scan steps, which would fail the crossing (and overflow the
+    cap) on nearly every column. Returns (cand (R, cap) int32
+    selection-ordered w/ sentinel, count, overflow).
+    """
+    m = jnp.max(U, axis=1, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    col_z = jnp.log(jnp.sum(jnp.exp(U - m_safe), axis=1)) + m_safe[:, 0]
+    col_z = jnp.where(jnp.isfinite(m[:, 0]), col_z, NEG_INF)
+    thresh = SPARSE_THRESHOLD + col_z
+    vals, idx = jax.lax.top_k(U, cap)  # desc, ties -> lower index first
+    run = jax.lax.associative_scan(jnp.logaddexp, vals, axis=1)
+    crossed = run >= thresh[:, None] if ge_break else run > thresh[:, None]
+    prev = jnp.concatenate(
+        [jnp.zeros_like(crossed[:, :1]), crossed[:, :-1]], axis=1
+    )
+    included = (~prev) & col_live[:, None]
+    count = included.sum(axis=1).astype(jnp.int32)
+    overflow = col_live & (~crossed[:, -1])
+    cand = jnp.where(included, idx, sentinel)
+    return cand.astype(jnp.int32), count, overflow
+
+
+# ---------------------------------------------------------------------------
+# TN pre-pass (full T x N 2-state DP, ref: NTC.cpp:80-132,229-280)
+# ---------------------------------------------------------------------------
+
+class PreBatchResult(NamedTuple):
+    cand: jax.Array      # (T, R, C) int32, ascending per column, sentinel-pad
+    cnt: jax.Array       # (T, R) int32
+    Zf: jax.Array        # (R,)
+    Zb: jax.Array        # (R,)
+    overflow: jax.Array  # (R,) bool
+
+
+LOG_2PI = 1.8378770664093453
+
+
+def _tn_scores(sig_t, mu_n, sinv_n, l2s_n, n_live):
+    """(R, N2-1) emission row; padded n positions are -inf. Same op order
+    as utils.logmath.log_normal_pdf so the fp64 batched path is
+    bit-identical to the per-read pre-pass (ops/ntc_pre.pre_tn)."""
+    d = (sig_t[:, None] - mu_n) * sinv_n
+    return jnp.where(n_live, -0.5 * (LOG_2PI + l2s_n + d * d), NEG_INF)
+
+
+def pre_tn_batch(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
+                 cap: int, dtype):
+    """Batched TN pre-pass. sig (R, T_pad-1); kmer_ids (R, N2-1) 0-padded;
+    returns PreBatchResult with n-candidates per (t, read) column.
+
+    Stores only the forward lattice; the backward scan re-combines with it
+    and selects candidates on the fly (normalization by Zf as in the
+    reference, ref: NTC.cpp:251).
+    """
+    R, Tm1 = sig.shape
+    T_pad = Tm1 + 1
+    N2 = kmer_ids.shape[1] + 1
+    sig = sig.astype(dtype)
+    mu_n = jnp.asarray(means, dtype)[kmer_ids]
+    sd = jnp.asarray(stdevs, dtype)
+    sinv_n = (1.0 / sd)[kmer_ids]
+    l2s_n = (2.0 * jnp.log(sd))[kmer_ids]
+    n_live = jnp.arange(N2 - 1)[None, :] < (N_r - 1)[:, None]
+    neg1 = jnp.full((R, 1), NEG_INF, dtype)
+
+    # ---- forward scan, storing (T, R, N2) M/E --------------------------
+    # covers t = 0..T_pad-1 in ONE scan (t=0 emits the init column) so the
+    # multi-GB output is built in place — no [1:] slices / init concats,
+    # which would each copy the whole lattice
+    M0 = jnp.full((R, N2), NEG_INF, dtype)
+    E0 = M0.at[:, 0].set(0.0)
+
+    def fstep(carry, xs):
+        M_prev, E_prev = carry
+        sig_t, t = xs
+        sc = _tn_scores(sig_t, mu_n, sinv_n, l2s_n, n_live)
+        M_new = jnp.concatenate([neg1, E_prev[:, :-1] + sc + log_m1], axis=1)
+        E_new = jnp.concatenate(
+            [neg1, jnp.logaddexp(M_prev[:, 1:] + sc, E_prev[:, 1:] + sc + log_e2)],
+            axis=1,
+        )
+        first = t == 0
+        M_new = jnp.where(first, M0, M_new)
+        E_new = jnp.where(first, E0, E_new)
+        return (M_new, E_new), (M_new, E_new)
+
+    sig_f = jnp.concatenate([jnp.zeros((R, 1), dtype), sig], axis=1)  # sig[t-1]
+    _, (fM, fE) = jax.lax.scan(
+        fstep, (M0, E0), (sig_f.T, jnp.arange(T_pad, dtype=jnp.int32))
+    )
+
+    r_iota = jnp.arange(R)
+    Zf = fE[T_r - 1, r_iota, N_r - 1]
+
+    # ---- backward scan with fused selection ----------------------------
+    n_iota = jnp.arange(N2)[None, :]
+
+    def bstep(carry, xs):
+        M_next, E_next = carry
+        sig_t, fM_t, fE_t, t = xs
+        sc = _tn_scores(sig_t, mu_n, sinv_n, l2s_n, n_live)
+        ext = jnp.concatenate([M_next[:, 1:] + sc + log_m1, neg1], axis=1)
+        M_new = jnp.concatenate([neg1, E_next[:, 1:] + sc], axis=1)
+        ext = ext.at[:, 1:].set(
+            jnp.logaddexp(ext[:, 1:], E_next[:, 1:] + sc + log_e2)
+        )
+        is_term = (t == T_r - 1)[:, None]
+        dead = (t > T_r - 1)[:, None]
+        term_E = jnp.where(n_iota == (N_r - 1)[:, None], 0.0, NEG_INF).astype(dtype)
+        M_out = jnp.where(is_term | dead, NEG_INF, M_new)
+        E_out = jnp.where(is_term, term_E, jnp.where(dead, NEG_INF, ext))
+        U = jnp.logaddexp(fM_t + M_out, fE_t + E_out)
+        cand, cnt, ovf = select_topk(
+            U, cap, ge_break=False, col_live=t <= T_r - 1, sentinel=N2,
+        )
+        return (M_out, E_out), (cand, cnt, ovf)
+
+    sig_b = jnp.concatenate([sig, jnp.zeros((R, 1), dtype)], axis=1)  # sc row t
+    xs = (sig_b.T, fM, fE, jnp.arange(T_pad, dtype=jnp.int32))
+    (_, E_back0), (cand, cnt, ovf) = jax.lax.scan(
+        bstep, (M0, M0), xs, reverse=True
+    )
+    Zb = E_back0[:, 0]
+    cand = jnp.sort(cand, axis=2)  # ascending with sentinel at the end
+    return PreBatchResult(cand, cnt, Zf, Zb, ovf.any(axis=0))
+
+
+# ---------------------------------------------------------------------------
+# TK pre-pass (dense T x K 2-state DP, ref: NTC.cpp:145-217,291-349)
+# ---------------------------------------------------------------------------
+
+def _prec_sum_b(E_prev, alphabet_size: int):
+    """X[:, k] = logsumexp_j E_prev[:, prec_j(k)] (batched ntc_pre._prec_sum)."""
+    R, K = E_prev.shape
+    step = K // alphabet_size
+    g = E_prev.reshape(R, alphabet_size, step)
+    m = jnp.max(g, axis=1)
+    safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+    x = jnp.log(jnp.sum(jnp.exp(g - safe_m[:, None, :]), axis=1)) + safe_m
+    x = jnp.where(jnp.isfinite(m), x, NEG_INF)
+    return jnp.repeat(x, alphabet_size, axis=1)
+
+
+def _suc_sum_b(vals, alphabet_size: int):
+    """Y[:, k] = logsumexp_j vals[:, suc_j(k)] (batched ntc_pre._suc_sum)."""
+    R, K = vals.shape
+    step = K // alphabet_size
+    g = vals.reshape(R, step, alphabet_size)
+    m = jnp.max(g, axis=2)
+    safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+    y = jnp.log(jnp.sum(jnp.exp(g - safe_m[:, :, None]), axis=2)) + safe_m
+    y = jnp.where(jnp.isfinite(m), y, NEG_INF)
+    return jnp.tile(y, (1, alphabet_size))
+
+
+def pre_tk_batch(sig, T_r, means, c1, c2, log_m1, log_e2,
+                 alphabet_size: int, cap: int, dtype):
+    """Batched TK pre-pass: backward stored, forward fused with selection
+    (normalization by Zb as in the reference, ref: NTC.cpp:322)."""
+    R, Tm1 = sig.shape
+    T_pad = Tm1 + 1
+    sig = sig.astype(dtype)
+    muk = jnp.asarray(means, dtype)
+    c1k = jnp.asarray(c1, dtype)
+    c2k = jnp.asarray(c2, dtype)
+    K = muk.shape[0]
+
+    # ---- backward scan, storing (T, R, K) M/E --------------------------
+    def bstep(carry, xs):
+        M_next, E_next = carry
+        sig_t, t = xs
+        d = sig_t[:, None] - muk
+        sc = c1k - c2k * d * d
+        M_new = E_next + sc
+        E_new = jnp.logaddexp(
+            _suc_sum_b(M_next + sc + log_m1, alphabet_size),
+            E_next + sc + log_e2,
+        )
+        is_term = (t == T_r - 1)[:, None]
+        dead = (t > T_r - 1)[:, None]
+        M_out = jnp.where(is_term | dead, NEG_INF, M_new)
+        E_out = jnp.where(is_term, 0.0, jnp.where(dead, NEG_INF, E_new))
+        return (M_out, E_out), (M_out, E_out)
+
+    negK = jnp.full((R, K), NEG_INF, dtype)
+    sig_b = jnp.concatenate([sig, jnp.zeros((R, 1), dtype)], axis=1)
+    (bM0, bE0), (bM, bE) = jax.lax.scan(
+        bstep, (negK, negK), (sig_b.T, jnp.arange(T_pad, dtype=jnp.int32)),
+        reverse=True,
+    )
+    Zb = logsumexp(bE[0], axis=1)
+
+    # ---- forward scan emitting the combined posteriors -----------------
+    # one scan over t = 0..T_pad-1 (t=0 emits the init column); the
+    # candidate selection runs OUTSIDE as one big batched top_k over
+    # (T*R, K) — a per-step top_k(cap) costs ~20x more wall-clock than a
+    # single large call
+    M0 = negK
+    E0 = jnp.zeros((R, K), dtype)
+
+    def fstep(carry, xs):
+        M_prev, E_prev, finalE = carry
+        sig_t, bM_t, bE_t, t = xs
+        d = sig_t[:, None] - muk
+        sc = c1k - c2k * d * d
+        M_new = _prec_sum_b(E_prev, alphabet_size) + sc + log_m1
+        E_new = jnp.logaddexp(M_prev + sc, E_prev + sc + log_e2)
+        first = t == 0
+        dead = (t > T_r - 1)[:, None]
+        M_out = jnp.where(first, M0, jnp.where(dead, NEG_INF, M_new))
+        E_out = jnp.where(first, E0, jnp.where(dead, NEG_INF, E_new))
+        finalE = jnp.where((t == T_r - 1)[:, None], E_out, finalE)
+        U = jnp.logaddexp(bM_t + M_out, bE_t + E_out)
+        return (M_out, E_out, finalE), U
+
+    finalE0 = jnp.where((T_r == 1)[:, None], E0, negK)
+    sig_f = jnp.concatenate([jnp.zeros((R, 1), dtype), sig], axis=1)  # sig[t-1]
+    xs = (sig_f.T, bM, bE, jnp.arange(T_pad, dtype=jnp.int32))
+    (_, _, finalE), U = jax.lax.scan(fstep, (M0, E0, finalE0), xs)
+    Zf = logsumexp(finalE, axis=1)
+    col_live = (
+        jnp.arange(T_pad, dtype=jnp.int32)[:, None] <= (T_r - 1)[None, :]
+    ).reshape(-1)
+    cand, cnt, ovf = select_topk(
+        U.reshape(T_pad * R, K), cap, ge_break=True,
+        col_live=col_live, sentinel=K,
+    )
+    cand = jnp.sort(cand.reshape(T_pad, R, cap), axis=2)
+    cnt = cnt.reshape(T_pad, R)
+    ovf = ovf.reshape(T_pad, R)
+    return PreBatchResult(cand, cnt, Zf, Zb, ovf.any(axis=0))
+
+
+# ---------------------------------------------------------------------------
+# batched plan build (ref layout: ops/ntc_dp.build_plan)
+# ---------------------------------------------------------------------------
+
+def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
+                    means, c1, c2, alphabet_size: int, kmer_size: int, dtype):
+    """Single-read plan with a *traced* read length N_read (the static
+    N = N_max only bounds shapes/clipping); otherwise identical to
+    ops/ntc_dp.build_plan. vmapped over reads by build_plan_batch."""
+    T, CN = cand_n.shape
+    K = means.shape[0]
+    N_max = kmer_seq.shape[0] + 1
+    step = K // alphabet_size
+
+    n_valid = (jnp.arange(CN)[None, :] < cnt_n[:, None]) & (cand_n < N_read[None])
+    n_safe = jnp.clip(cand_n, 0, N_max - 1)
+    kN = jnp.where(
+        n_valid & (cand_n >= 1), kmer_seq[jnp.clip(n_safe - 1, 0, N_max - 2)], 0
+    )
+    base_k = jnp.where(n_valid & (cand_n >= 1), kN, K)
+
+    merged = jnp.concatenate([cand_k0, base_k], axis=1)
+    ks = jnp.sort(merged, axis=1).astype(jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((T, 1), bool), ks[:, 1:] != ks[:, :-1]], axis=1
+    )
+    live = first & (ks < K)
+    CK0 = cand_k0.shape[1]
+    k_valid0 = jnp.arange(CK0)[None, :] < cnt_k[:, None]
+    ck0 = jnp.where(k_valid0, cand_k0, K)
+    # membership via binary search in the sorted candidate row (both rows
+    # are ascending with K sentinels); K==K matches are masked by `live`
+    ft_idx = jax.vmap(
+        lambda v, tab: jnp.searchsorted(tab, v, side="left")
+    )(ks, ck0)
+    ft_idx = jnp.clip(ft_idx, 0, CK0 - 1)
+    from_tk = jnp.take_along_axis(ck0, ft_idx, axis=1) == ks
+
+    allowed = (
+        live[:, None, :]
+        & n_valid[:, :, None]
+        & (
+            from_tk[:, None, :]
+            | ((ks[:, None, :] == kN[:, :, None]) & (cand_n >= 1)[:, :, None])
+        )
+    )
+
+    ks_safe = jnp.clip(ks, 0, K - 1)
+    means = jnp.asarray(means, dtype)
+    c1 = jnp.asarray(c1, dtype)
+    c2 = jnp.asarray(c2, dtype)
+    kN2 = jnp.where(
+        n_valid & (cand_n < N_read[None] - 1),
+        kmer_seq[jnp.clip(n_safe, 0, N_max - 2)], 0,
+    )
+
+    suc_base = (ks_safe % step) * alphabet_size
+    suc_vals = suc_base[:, :, None] + jnp.arange(alphabet_size)[None, None, :]
+
+    CKm = ks.shape[1]
+    prev_n = jnp.concatenate([jnp.full((1, CN), N_max, cand_n.dtype), cand_n[:-1]], 0)
+    prev_ks = jnp.concatenate([jnp.full((1, CKm), K, ks.dtype), ks[:-1]], 0)
+    next_n = jnp.concatenate([cand_n[1:], jnp.full((1, CN), N_max, cand_n.dtype)], 0)
+    next_ks = jnp.concatenate([ks[1:], jnp.full((1, CKm), K, ks.dtype)], 0)
+
+    prec_base = ks_safe // alphabet_size
+    prec_vals = prec_base[:, :, None] + (
+        jnp.arange(alphabet_size)[None, None, :] * step
+    )
+
+    def slot2(values, table):
+        """First slot of each value in the per-column sorted table, -1 if
+        absent. Binary search per column — O(C log C) instead of the
+        O(C^2) eq-broadcast, which dominated plan build time."""
+        idx = jax.vmap(
+            lambda v, tab: jnp.searchsorted(tab, v, side="left")
+        )(values, table)
+        idx_c = jnp.clip(idx, 0, table.shape[1] - 1).astype(jnp.int32)
+        found = jnp.take_along_axis(table, idx_c, axis=1) == values
+        return jnp.where(found, idx_c, -1)
+
+    def slot3(values, table):
+        Tn, Cv, Av = values.shape
+        return slot2(values.reshape(Tn, Cv * Av), table).reshape(Tn, Cv, Av)
+
+    return NTCPlan(
+        cand_n=cand_n.astype(jnp.int32), cnt_n=cnt_n.astype(jnp.int32),
+        ks=ks, live=live, from_tk=from_tk, allowed=allowed,
+        mu_k=means[ks_safe], c1_k=c1[ks_safe], c2_k=c2[ks_safe],
+        kN=kN.astype(jnp.int32), mu_n=means[kN], c1_n=c1[kN], c2_n=c2[kN],
+        kN2=kN2.astype(jnp.int32), mu_n2=means[kN2], c1_n2=c1[kN2], c2_n2=c2[kN2],
+        row_same=slot2(cand_n, prev_n), row_prev=slot2(cand_n - 1, prev_n),
+        col_same=slot2(ks, prev_ks), col_prec=slot3(prec_vals, prev_ks),
+        brow_same=slot2(cand_n, next_n), brow_next=slot2(cand_n + 1, next_n),
+        bcol_same=slot2(ks, next_ks), bcol_suc=slot3(suc_vals, next_ks),
+        suc_vals=suc_vals.astype(jnp.int32),
+        mu_suc=means[suc_vals], c1_suc=c1[suc_vals], c2_suc=c2[suc_vals],
+    )
+
+
+class PlanDims(NamedTuple):
+    """Static slot-layout dimensions of a flattened batched plan."""
+
+    R: int
+    CN: int
+    CK: int
+    A: int
+
+
+def build_plan_batch(cand_n, cnt_n, cand_k0, cnt_k, kmer_ids, N_r,
+                     means, c1, c2, alphabet_size: int, kmer_size: int,
+                     dtype):
+    """cand_n (T, R, CN), cnt_n (T, R), cand_k0 (T, R, CK0), cnt_k (T, R),
+    kmer_ids (R, N_max-1), N_r (R,).
+
+    Returns (plan, dims) where every plan array is FLATTENED to (T, X).
+    TPU arrays tile-pad their two minor dims to (8, 128); keeping the tiny
+    slot dims (CN~8, CK~24, A=4) minor would expand the multi-GB stacked
+    tensors 5-30x in HBM, so everything trailing T is collapsed and scan
+    bodies reshape single rows back (a per-step (R, 5, CN, CK) column is
+    KBs — padding there is irrelevant)."""
+    fn = jax.vmap(
+        lambda a, b, c, d, ks, n: _build_plan_one(
+            a, b, c, d, ks, n, means, c1, c2, alphabet_size, kmer_size, dtype
+        ),
+        in_axes=(1, 1, 1, 1, 0, 0), out_axes=1,
+    )
+    plan = fn(cand_n, cnt_n, cand_k0, cnt_k, kmer_ids, N_r)
+    R, CN = plan.cand_n.shape[1:3]
+    CK = plan.ks.shape[2]
+    dims = PlanDims(R, CN, CK, alphabet_size)
+    flat = NTCPlan(*[a.reshape(a.shape[0], -1) for a in plan])
+    return flat, dims
+
+
+# ---------------------------------------------------------------------------
+# batched 3D DP (ref: NTC.cpp:417-578; slot layout: ops/ntc_dp.py)
+# ---------------------------------------------------------------------------
+
+def _gr(x, row_idx):
+    """x (R, 5, CN, CK), row_idx (R, CN) -> gather rows, -inf where idx<0."""
+    idx = jnp.clip(row_idx, 0, x.shape[2] - 1)
+    g = jnp.take_along_axis(x, idx[:, None, :, None], axis=2)
+    return jnp.where((row_idx >= 0)[:, None, :, None], g, NEG_INF)
+
+
+def _gc(x, col_idx):
+    """x (R, 5, CN, CK), col_idx (R, CK) -> gather cols, -inf where idx<0."""
+    idx = jnp.clip(col_idx, 0, x.shape[3] - 1)
+    g = jnp.take_along_axis(x, idx[:, None, None, :], axis=3)
+    return jnp.where((col_idx >= 0)[:, None, None, :], g, NEG_INF)
+
+
+def _fwd_column(prev, xs_t, tl, dims: PlanDims, kmer_size, dtype):
+    """One forward column update (R, 5, CN, CK) -> same; the exact batched
+    transcription of ops/ntc_dp.ntc_forward's scan body. xs rows arrive
+    flattened (see build_plan_batch) and are reshaped here."""
+    R, CN, CK, alphabet_size = dims
+    (sig_t, cn, ks, allowed, mu_k, c1_k, c2_k, kN, mu_n, c1_n, c2_n,
+     row_same, row_prev, col_same, col_prec) = xs_t
+    cn = cn.reshape(R, CN)
+    ks = ks.reshape(R, CK)
+    allowed = allowed.reshape(R, CN, CK)
+    mu_k, c1_k, c2_k = (a.reshape(R, CK) for a in (mu_k, c1_k, c2_k))
+    kN, mu_n, c1_n, c2_n = (a.reshape(R, CN) for a in (kN, mu_n, c1_n, c2_n))
+    row_same = row_same.reshape(R, CN)
+    row_prev = row_prev.reshape(R, CN)
+    col_same = col_same.reshape(R, CK)
+    col_prec = col_prec.reshape(R, CK, alphabet_size)
+
+    d_n = sig_t[:, None] - mu_n
+    sc_n = c1_n - c2_n * d_n * d_n
+    d_k = sig_t[:, None] - mu_k
+    sc_k = c1_k - c2_k * d_k * d_k
+    hd = hamming2(kN[:, :, None], ks[:, None, :], alphabet_size, kmer_size)
+    sc = sc_n[:, :, None] + sc_k[:, None, :] + hd.astype(dtype)
+
+    ge_same = _gr(prev, row_same)
+    ge_prev = _gr(prev, row_prev)
+
+    a_acc = jnp.full((R, CN, CK), NEG_INF, dtype)
+    p_acc = jnp.full((R, CN, CK), NEG_INF, dtype)
+    for ai in range(alphabet_size):
+        gp = _gc(ge_prev, col_prec[:, :, ai])
+        gs = _gc(ge_same, col_prec[:, :, ai])
+        a_acc = jnp.logaddexp(
+            a_acc,
+            jnp.logaddexp(gp[:, E_ST] + tl["a1"], gp[:, I_ST] + tl["a2"]),
+        )
+        p_acc = jnp.logaddexp(
+            p_acc,
+            jnp.logaddexp(
+                gs[:, S_ST] + tl["p1"],
+                jnp.logaddexp(gs[:, E_ST] + tl["p2"], gs[:, I_ST] + tl["p3"]),
+            ),
+        )
+    a_new = a_acc + sc
+    p_new = p_acc + sc
+
+    gpk = _gc(ge_prev, col_same)
+    s_new = (
+        jnp.logaddexp(
+            gpk[:, P_ST] + tl["s1"],
+            jnp.logaddexp(gpk[:, E_ST] + tl["s2"], gpk[:, I_ST] + tl["s3"]),
+        )
+        + sc
+    )
+    gsk = _gc(ge_same, col_same)
+    e_new = (
+        jnp.logaddexp(
+            jnp.logaddexp(gsk[:, A_ST], gsk[:, P_ST] + tl["e2"]),
+            jnp.logaddexp(gsk[:, S_ST] + tl["e3"], gsk[:, E_ST] + tl["e4"]),
+        )
+        + sc
+    )
+
+    n_pos = (cn >= 1)[:, :, None]
+    a_new = jnp.where(allowed & n_pos, a_new, NEG_INF)
+    p_new = jnp.where(allowed & n_pos, p_new, NEG_INF)
+    s_new = jnp.where(allowed & n_pos, s_new, NEG_INF)
+    e_new = jnp.where(allowed & n_pos, e_new, NEG_INF)
+
+    # I: in-column chain over n-slots (ref: NTC.cpp:474-477)
+    i_rows = []
+    i_prev_row = jnp.full((R, CK), NEG_INF, dtype)
+    for i_slot in range(CN):
+        if i_slot == 0:
+            chain = jnp.zeros((R,), bool)
+            e_above = jnp.full((R, CK), NEG_INF, dtype)
+        else:
+            chain = cn[:, i_slot - 1] == cn[:, i_slot] - 1
+            e_above = e_new[:, i_slot - 1]
+        term = (
+            jnp.logaddexp(e_above + tl["i1"], i_prev_row + tl["i2"])
+            + sc[:, i_slot]
+        )
+        i_row = jnp.where(
+            chain[:, None] & allowed[:, i_slot] & (cn[:, i_slot] >= 1)[:, None],
+            term, NEG_INF,
+        )
+        i_rows.append(i_row)
+        i_prev_row = i_row
+    i_new = jnp.stack(i_rows, axis=1)
+
+    return jnp.stack([a_new, p_new, s_new, e_new, i_new], axis=1)
+
+
+def _fwd_xs(plan: NTCPlan, sig):
+    """Stream slices for forward scans over t = 0..T_pad-1 (T-major, no
+    slicing — a [1:] of the plan tensors would copy them wholesale).
+    sig is padded in front so row t carries sig[t-1]."""
+    R = sig.shape[0]
+    sig_f = jnp.concatenate([jnp.zeros((R, 1), sig.dtype), sig], axis=1)
+    return (
+        sig_f.T, plan.cand_n, plan.ks, plan.allowed,
+        plan.mu_k, plan.c1_k, plan.c2_k,
+        plan.kN, plan.mu_n, plan.c1_n, plan.c2_n,
+        plan.row_same, plan.row_prev, plan.col_same,
+        plan.col_prec,
+    )
+
+
+def _init_column(plan: NTCPlan, dims: PlanDims, dtype):
+    """t = 0: E = 0 at rows with n == 0, allowed slots."""
+    R, CN, CK, _ = dims
+    init = jnp.full((R, 5, CN, CK), NEG_INF, dtype)
+    cn0 = plan.cand_n[0].reshape(R, CN)
+    allowed0 = plan.allowed[0].reshape(R, CN, CK)
+    row0 = (cn0 == 0)[:, :, None] & allowed0
+    return init.at[:, E_ST].set(jnp.where(row0, 0.0, NEG_INF))
+
+
+def _final_row_masks(plan: NTCPlan, dims: PlanDims, N_r, T_r):
+    """Masks/rows of the terminal column t = T_r-1, gathered per read."""
+    R, CN, CK, _ = dims
+
+    def tak(a, per):
+        # flat (T, R*per) layout: column x belongs to read x // per
+        idx = jnp.repeat(T_r - 1, per)[None, :]
+        return jnp.take_along_axis(a, idx, axis=0)[0]
+
+    cand_last = tak(plan.cand_n, CN).reshape(R, CN)
+    allowed_last = tak(plan.allowed, CN * CK).reshape(R, CN, CK)
+    live_last = tak(plan.live, CK).reshape(R, CK)
+    mask = (
+        (cand_last == (N_r - 1)[:, None])[:, :, None]
+        & allowed_last & live_last[:, None, :]
+    )
+    return cand_last, allowed_last, live_last, mask
+
+
+def ntc_forward_z_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
+                        N_r, T_r, kmer_size: int, dtype):
+    """Forward pass without storage; returns (Zf (R,), finalE (R, CN, CK))."""
+    init = _init_column(plan, dims, dtype)
+    T_pad = plan.cand_n.shape[0]
+
+    def step(carry, xs):
+        prev, finalE = carry
+        t, rest = xs[0], xs[1:]
+        out = _fwd_column(prev, rest, trans_log, dims, kmer_size, dtype)
+        out = jnp.where(t == 0, init, out)
+        finalE = jnp.where(
+            (t == T_r - 1)[:, None, None], out[:, E_ST], finalE
+        )
+        return (out, finalE), None
+
+    finalE0 = jnp.full_like(init[:, E_ST], NEG_INF)
+    xs = (jnp.arange(T_pad, dtype=jnp.int32),) + _fwd_xs(plan, sig)
+    (_, finalE), _ = jax.lax.scan(step, (init, finalE0), xs)
+    _, _, _, mask = _final_row_masks(plan, dims, N_r, T_r)
+    Zf = logsumexp(jnp.where(mask, finalE, NEG_INF), axis=(1, 2))
+    return Zf, finalE
+
+
+def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
+                       N_r, T_r, kmer_size: int, dtype):
+    """Backward pass storing flat (T, R, 5*CN*CK); ragged-T terminal
+    injection. Exact batched transcription of ops/ntc_dp.ntc_backward."""
+    T_pad = plan.cand_n.shape[0]
+    R, CN, CK, alphabet_size = dims
+    tl = trans_log
+
+    def step(carry, xs):
+        nxt = carry
+        (sig_t, sig_tm1, t, cn, allowed, ks, mu_k, c1_k, c2_k, kN, mu_n,
+         c1_n, c2_n, kN2, mu_n2, c1_n2, c2_n2, brow_same, brow_next,
+         bcol_same, bcol_suc, suc_vals, mu_suc, c1_suc, c2_suc) = xs
+        cn = cn.reshape(R, CN)
+        allowed = allowed.reshape(R, CN, CK)
+        ks = ks.reshape(R, CK)
+        mu_k, c1_k, c2_k = (a.reshape(R, CK) for a in (mu_k, c1_k, c2_k))
+        kN, mu_n, c1_n, c2_n = (
+            a.reshape(R, CN) for a in (kN, mu_n, c1_n, c2_n))
+        kN2, mu_n2, c1_n2, c2_n2 = (
+            a.reshape(R, CN) for a in (kN2, mu_n2, c1_n2, c2_n2))
+        brow_same = brow_same.reshape(R, CN)
+        brow_next = brow_next.reshape(R, CN)
+        bcol_same = bcol_same.reshape(R, CK)
+        bcol_suc = bcol_suc.reshape(R, CK, alphabet_size)
+        suc_vals = suc_vals.reshape(R, CK, alphabet_size)
+        mu_suc, c1_suc, c2_suc = (
+            a.reshape(R, CK, alphabet_size) for a in (mu_suc, c1_suc, c2_suc))
+
+        d_n = sig_t[:, None] - mu_n
+        scn = c1_n - c2_n * d_n * d_n
+        d_n2 = sig_t[:, None] - mu_n2
+        scn2 = c1_n2 - c2_n2 * d_n2 * d_n2
+        d_k = sig_t[:, None] - mu_k
+        sck = c1_k - c2_k * d_k * d_k
+        hd1 = hamming2(kN[:, :, None], ks[:, None, :], alphabet_size,
+                       kmer_size).astype(dtype)
+        hd2 = hamming2(kN2[:, :, None], ks[:, None, :], alphabet_size,
+                       kmer_size).astype(dtype)
+        sc1 = scn[:, :, None] + sck[:, None, :] + hd1
+        sc2 = scn2[:, :, None] + sck[:, None, :] + hd2
+
+        gn_same = _gr(nxt, brow_same)
+        gn_next = _gr(nxt, brow_next)
+        gsk = _gc(gn_same, bcol_same)
+        gnk = _gc(gn_next, bcol_same)
+
+        n_pos = (cn >= 1)[:, :, None]
+        n_lt = (cn < (N_r - 1)[:, None])[:, :, None]
+        a_new = jnp.where(n_pos, gsk[:, E_ST] + sc1, NEG_INF)
+        p_new = jnp.logaddexp(
+            jnp.where(n_pos, gsk[:, E_ST] + tl["e2"] + sc1, NEG_INF),
+            jnp.where(n_lt, gnk[:, S_ST] + tl["s1"] + sc2, NEG_INF),
+        )
+        s_acc = jnp.where(n_pos, gsk[:, E_ST] + tl["e3"] + sc1, NEG_INF)
+        e_acc = jnp.where(n_pos, gsk[:, E_ST] + tl["e4"] + sc1, NEG_INF)
+        i_acc = jnp.full_like(a_new, NEG_INF)
+        for ai in range(alphabet_size):
+            d_s = sig_t[:, None] - mu_suc[:, :, ai]
+            scs = c1_suc[:, :, ai] - c2_suc[:, :, ai] * d_s * d_s
+            hds1 = hamming2(kN[:, :, None], suc_vals[:, None, :, ai],
+                            alphabet_size, kmer_size).astype(dtype)
+            hds2 = hamming2(kN2[:, :, None], suc_vals[:, None, :, ai],
+                            alphabet_size, kmer_size).astype(dtype)
+            sc1s = scn[:, :, None] + scs[:, None, :] + hds1
+            sc2s = scn2[:, :, None] + scs[:, None, :] + hds2
+            gsp = _gc(gn_same, bcol_suc[:, :, ai])
+            gna = _gc(gn_next, bcol_suc[:, :, ai])
+            s_acc = jnp.logaddexp(
+                s_acc, jnp.where(n_pos, gsp[:, P_ST] + tl["p1"] + sc1s, NEG_INF)
+            )
+            e_acc = jnp.logaddexp(
+                e_acc, jnp.where(n_pos, gsp[:, P_ST] + tl["p2"] + sc1s, NEG_INF)
+            )
+            i_acc = jnp.logaddexp(
+                i_acc, jnp.where(n_pos, gsp[:, P_ST] + tl["p3"] + sc1s, NEG_INF)
+            )
+            e_acc = jnp.logaddexp(
+                e_acc, jnp.where(n_lt, gna[:, A_ST] + tl["a1"] + sc2s, NEG_INF)
+            )
+            i_acc = jnp.logaddexp(
+                i_acc, jnp.where(n_lt, gna[:, A_ST] + tl["a2"] + sc2s, NEG_INF)
+            )
+        s_new = s_acc
+        e_new = jnp.logaddexp(
+            e_acc, jnp.where(n_lt, gnk[:, S_ST] + tl["s2"] + sc2, NEG_INF)
+        )
+        i_new = jnp.logaddexp(
+            i_acc, jnp.where(n_lt, gnk[:, S_ST] + tl["s3"] + sc2, NEG_INF)
+        )
+
+        # same-t I chain (ref: NTC.cpp:565-572): sig[t-1] and kmerSeq[n]
+        d_km1 = sig_tm1[:, None] - mu_k
+        sck_m1 = c1_k - c2_k * d_km1 * d_km1
+        d_nm1 = sig_tm1[:, None] - mu_n2
+        scn2_m1 = c1_n2 - c2_n2 * d_nm1 * d_nm1
+        sc_i = scn2_m1[:, :, None] + sck_m1[:, None, :] + hd2
+        t_pos = t > 0
+        i_full_rows = [None] * CN
+        e_rows = [None] * CN
+        i_below = jnp.full((R, CK), NEG_INF, dtype)
+        for i_slot in range(CN - 1, -1, -1):
+            if i_slot == CN - 1:
+                chain = jnp.zeros((R,), bool)
+            else:
+                chain = cn[:, i_slot + 1] == cn[:, i_slot] + 1
+            ok = (chain & t_pos & (cn[:, i_slot] < N_r - 1))[:, None]
+            i_row = jnp.logaddexp(
+                i_new[:, i_slot],
+                jnp.where(ok, i_below + tl["i2"] + sc_i[:, i_slot], NEG_INF),
+            )
+            e_row = jnp.logaddexp(
+                e_new[:, i_slot],
+                jnp.where(ok, i_below + tl["i1"] + sc_i[:, i_slot], NEG_INF),
+            )
+            i_full_rows[i_slot] = i_row
+            e_rows[i_slot] = e_row
+            i_below = i_row
+        i_new = jnp.stack(i_full_rows, axis=1)
+        e_new = jnp.stack(e_rows, axis=1)
+
+        computed = jnp.stack([a_new, p_new, s_new, e_new, i_new], axis=1)
+        computed = jnp.where(allowed[:, None], computed, NEG_INF)
+
+        # ragged-T: terminal column at t == T_r-1, dead above
+        is_term = (t == T_r - 1)[:, None, None, None]
+        dead = (t > T_r - 1)[:, None, None, None]
+        rowN = (cn == (N_r - 1)[:, None])[:, :, None] & allowed
+        term = jnp.full_like(computed, NEG_INF)
+        term = term.at[:, E_ST].set(jnp.where(rowN, 0.0, NEG_INF))
+        out = jnp.where(is_term, term, jnp.where(dead, NEG_INF, computed))
+        return out, out.reshape(R, -1)  # store flat (tile-padding, see plan)
+
+    sig_pad = jnp.concatenate([sig.astype(dtype), jnp.zeros((sig.shape[0], 1), dtype)], 1)
+    sig_prev = jnp.concatenate([jnp.zeros((sig.shape[0], 1), dtype), sig_pad[:, :-1]], 1)
+    xs = (
+        sig_pad.T, sig_prev.T, jnp.arange(T_pad, dtype=jnp.int32),
+        plan.cand_n, plan.allowed, plan.ks,
+        plan.mu_k, plan.c1_k, plan.c2_k,
+        plan.kN, plan.mu_n, plan.c1_n, plan.c2_n,
+        plan.kN2, plan.mu_n2, plan.c1_n2, plan.c2_n2,
+        plan.brow_same, plan.brow_next, plan.bcol_same,
+        plan.bcol_suc, plan.suc_vals,
+        plan.mu_suc, plan.c1_suc, plan.c2_suc,
+    )
+    init = jnp.full((R, 5, CN, CK), NEG_INF, dtype)
+    _, bwd = jax.lax.scan(step, init, xs, reverse=True)
+    return bwd  # (T_pad, R, 5*CN*CK) flat
+
+
+def _first_match(cands, dtype):
+    """max + first-index-achieving-max over an ordered candidate list —
+    the walk's check order becomes the stored choice (ref equality-check
+    order in NTC.cpp:691-904)."""
+    m = cands[0]
+    for c in cands[1:]:
+        m = jnp.maximum(m, c)
+    code = jnp.full(m.shape, len(cands) - 1, jnp.int32)
+    done = jnp.zeros(m.shape, bool)
+    for ci, c in enumerate(cands):
+        hit = (~done) & (c == m)
+        code = jnp.where(hit, ci, code)
+        done = done | hit
+    return m, code
+
+
+def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
+                                Zf, trans_log, N_r, T_r, kmer_size: int,
+                                dtype):
+    """Second forward scan: recompute fwd columns, emit posteriors
+    lp = fwd + bwd - Zf and the Viterbi max-DP choice bits in one pass
+    (ref getBorders: NTC.cpp:595-669; choices replace the reference's
+    equality-check walk, see ops/ntc_walk).
+
+    Returns (lp (T, R, 5*CN*CK) flat, choices (T, R, CN*CK) flat packed
+    int32, ap_final_E (R, CN, CK))."""
+    T_pad = plan.cand_n.shape[0]
+    R, CN, CK, A = dims
+
+    init = _init_column(plan, dims, dtype)
+    ap_init = init  # E = 0 at (n==0, allowed), rest -inf — same layout
+
+    def step(carry, xs):
+        fwd_prev, ap_prev, apE_final = carry
+        t, bwd_t = xs[0], xs[1]
+        fxs = xs[2:]
+        bwd_t = bwd_t.reshape(R, 5, CN, CK)
+        cn = fxs[1].reshape(R, CN)
+        allowed = fxs[3].reshape(R, CN, CK)
+        row_same = fxs[11].reshape(R, CN)
+        row_prev = fxs[12].reshape(R, CN)
+        col_same = fxs[13].reshape(R, CK)
+        col_prec = fxs[14].reshape(R, CK, A)
+
+        fwd_t = _fwd_column(fwd_prev, fxs, trans_log, dims, kmer_size, dtype)
+        fwd_t = jnp.where(t == 0, init, fwd_t)
+        lp = fwd_t + bwd_t - Zf[:, None, None, None]
+
+        # Viterbi max over posteriors + first-match choices
+        ge_same = _gr(ap_prev, row_same)
+        ge_prev = _gr(ap_prev, row_prev)
+
+        # A: for pre in prec order: E then I (ref walk order)
+        a_cands, p_cands = [], []
+        for ai in range(A):
+            gp = _gc(ge_prev, col_prec[:, :, ai])
+            gs = _gc(ge_same, col_prec[:, :, ai])
+            a_cands += [gp[:, E_ST], gp[:, I_ST]]
+            p_cands += [gs[:, E_ST], gs[:, S_ST], gs[:, I_ST]]
+        a_max, ch_a = _first_match(a_cands, dtype)
+        p_max, ch_p = _first_match(p_cands, dtype)
+        gpk = _gc(ge_prev, col_same)
+        s_max, ch_s = _first_match(
+            [gpk[:, E_ST], gpk[:, P_ST], gpk[:, I_ST]], dtype
+        )
+        gsk = _gc(ge_same, col_same)
+        e_max, ch_e = _first_match(
+            [gsk[:, E_ST], gsk[:, A_ST], gsk[:, S_ST], gsk[:, P_ST]], dtype
+        )
+
+        n_pos = (cn >= 1)[:, :, None]
+        ok = allowed & n_pos
+        a_new = jnp.where(ok, a_max + lp[:, A_ST], NEG_INF)
+        p_new = jnp.where(ok, p_max + lp[:, P_ST], NEG_INF)
+        s_new = jnp.where(ok, s_max + lp[:, S_ST], NEG_INF)
+        e_new = jnp.where(ok, e_max + lp[:, E_ST], NEG_INF)
+
+        i_rows, chi_rows = [], []
+        i_prev_row = jnp.full((R, CK), NEG_INF, dtype)
+        for i_slot in range(CN):
+            if i_slot == 0:
+                chain = jnp.zeros((R,), bool)
+                e_above = jnp.full((R, CK), NEG_INF, dtype)
+            else:
+                chain = cn[:, i_slot - 1] == cn[:, i_slot] - 1
+                e_above = e_new[:, i_slot - 1]
+            m2 = jnp.maximum(e_above, i_prev_row)
+            # E overrides I on ties (ref: NTC.cpp:884-893 two plain ifs)
+            chi = jnp.where(e_above == m2, 0, 1).astype(jnp.int32)
+            term = m2 + lp[:, I_ST, i_slot]
+            i_row = jnp.where(
+                chain[:, None] & allowed[:, i_slot] & (cn[:, i_slot] >= 1)[:, None],
+                term, NEG_INF,
+            )
+            i_rows.append(i_row)
+            chi_rows.append(chi)
+            i_prev_row = i_row
+        i_new = jnp.stack(i_rows, axis=1)
+        ch_i = jnp.stack(chi_rows, axis=1)
+
+        ap_out = jnp.stack([a_new, p_new, s_new, e_new, i_new], axis=1)
+        ap_out = jnp.where(t == 0, ap_init, ap_out)
+        packed = (
+            ch_e | (ch_a << 2) | (ch_p << 5) | (ch_s << 9) | (ch_i << 11)
+        ).astype(jnp.int32)
+        packed = jnp.where(t == 0, 0, packed)
+        apE_final = jnp.where(
+            (t == T_r - 1)[:, None, None], ap_out[:, E_ST], apE_final
+        )
+        return (
+            (fwd_t, ap_out, apE_final),
+            (lp.reshape(R, -1), packed.reshape(R, -1)),  # store flat
+        )
+
+    apE0 = jnp.full((R, CN, CK), NEG_INF, dtype)
+    xs = (
+        jnp.arange(T_pad, dtype=jnp.int32), bwd,
+    ) + _fwd_xs(plan, sig)
+    (_, _, apE_final), (lp, choices) = jax.lax.scan(
+        step, (init, ap_init, apE0), xs
+    )
+    return lp, choices, apE_final
+
+
+def ntc_z_batch(plan: NTCPlan, dims: PlanDims, finalE, bwd0, N_r, T_r):
+    """Zf from the forward terminal column, Zb over E at (0, n==0 slots)
+    (ref: NTC_main.cpp:152-158), dead/duplicate slots excluded."""
+    R, CN, CK, _ = dims
+    _, _, _, mask = _final_row_masks(plan, dims, N_r, T_r)
+    Zf = logsumexp(jnp.where(mask, finalE, NEG_INF), axis=(1, 2))
+    row0 = (
+        (plan.cand_n[0].reshape(R, CN) == 0)[:, :, None]
+        & plan.allowed[0].reshape(R, CN, CK)
+        & plan.live[0].reshape(R, CK)[:, None, :]
+    )
+    bwd0 = bwd0.reshape(R, 5, CN, CK)
+    Zb = logsumexp(jnp.where(row0, bwd0[:, E_ST], NEG_INF), axis=(1, 2))
+    return Zf, Zb

@@ -102,9 +102,10 @@ def main():
     pk = timed("pre_tk", f_tk, sig_d)
     print("ovf_tn:", np.asarray(pn.overflow), "ovf_tk:", np.asarray(pk.overflow), flush=True)
 
+    dims = nb.PlanDims(R, CN, CK0 + CN, 4)  # static; jit would trace ints
     f_plan = jax.jit(lambda a, b, c, d: nb.build_plan_batch(
-        a, b, c, d, kid_d, N_r, mu_d, c1_d, c2_d, 4, S, dtype))
-    plan, dims = timed("build_plan", f_plan, pn.cand, pn.cnt, pk.cand, pk.cnt)
+        a, b, c, d, kid_d, N_r, mu_d, c1_d, c2_d, 4, S, dtype)[0])
+    plan = timed("build_plan", f_plan, pn.cand, pn.cnt, pk.cand, pk.cnt)
 
     f_fwd = jax.jit(lambda p: nb.ntc_forward_z_batch(
         p, dims, sig_d.astype(dtype), ntk, N_r, T_r, S, dtype))
