@@ -70,16 +70,14 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             mu, c1a, c2a, A, S, dtype,
         )
         sigd = sig.astype(dtype)
-        Zf3, finalE = nb.ntc_forward_z_batch(
-            plan, dims, sigd, trans_log, N_r, T_r, S, dtype
-        )
         bwd = nb.ntc_backward_batch(
             plan, dims, sigd, trans_log, N_r, T_r, S, dtype
         )
-        _, Zb3 = nb.ntc_z_batch(plan, dims, finalE, bwd[0], N_r, T_r)
-        lp, choices, apE_final = nb.ntc_posterior_viterbi_batch(
-            plan, dims, sigd, bwd, Zf3, trans_log, N_r, T_r, S, dtype
+        Zb3 = nb.ntc_zb_batch(plan, dims, bwd[0])
+        lp, choices, apE_final, fwdE_final = nb.ntc_posterior_viterbi_batch(
+            plan, dims, sigd, bwd, Zb3, trans_log, N_r, T_r, S, dtype
         )
+        Zf3 = nb.ntc_zf_batch(plan, dims, fwdE_final, N_r, T_r)
         i0, j0, k0, valid = nw.start_slots(plan, dims, apE_final, N_r, T_r)
         seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = nw.ntc_walk_batch(
             plan, dims, lp, choices, N_r, T_r, i0, j0, k0, valid, K, S, S_max
@@ -114,8 +112,9 @@ class NTCBatchEngine:
         t_pad_to: int = 2048,
         n_pad_to: int = 256,
         cap_n: int = 8,
-        cap_k: int = 64,  # measured: TK 95%-mass columns need up to ~60
-                          # candidates at T=16k on synthetic RNA002 reads
+        cap_k: int = 112,  # TK 95%-mass columns need ~60-100 candidates at
+                           # T=16k; CK = cap_k + cap_n tile-pads to 128
+                           # lanes regardless, so 112 + 8 = 120 is free
         fallback: bool = True,
     ):
         if model.kmer_size > 5:
@@ -230,6 +229,7 @@ class NTCBatchEngine:
                 outputs[i] = BatchOutput(it, None, float(host["Zf"][j]), err)
                 continue
             segs = self._format_segments(host, j)
+            segs = self._renormalize_medians(host, j, segs)
             outputs[i] = BatchOutput(it, segs, float(host["Zf"][j]))
         return retry
 
@@ -270,6 +270,18 @@ class NTCBatchEngine:
                          m.kmer_size, m.rna),
             ))
         return segs
+
+    def _renormalize_medians(self, host, j, segs):
+        """The device scans normalize posteriors by Zb (saves a whole
+        forward pass); the reference normalizes by the forward Z
+        (NTC_main.cpp:186). The normalizer is a uniform log-shift, so the
+        median SELECTION is identical and the median VALUE rescales by
+        exp(Zb - Zf) — exact, because the grouped median is monotone in
+        the probabilities (tie-averaging commutes with scaling)."""
+        scale = math.exp(float(host["Zb"][j]) - float(host["Zf"][j]))
+        if scale == 1.0:
+            return segs
+        return [(st, bp, t0, p * scale, pk) for st, bp, t0, p, pk in segs]
 
     def _run_exact(self, it: BatchItem) -> BatchOutput:
         """Exact per-read fp64 fallback for cap-overflow reads."""

@@ -143,7 +143,9 @@ def pre_tn_batch(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
         first = t == 0
         M_new = jnp.where(first, M0, M_new)
         E_new = jnp.where(first, E0, E_new)
-        return (M_new, E_new), (M_new, E_new)
+        # store flat (R*N2,): XLA picks an R-minor layout for stacked
+        # (T, R, N2) scan outputs, which tile-pads R -> 128 (8x HBM)
+        return (M_new, E_new), (M_new.reshape(-1), E_new.reshape(-1))
 
     sig_f = jnp.concatenate([jnp.zeros((R, 1), dtype), sig], axis=1)  # sig[t-1]
     _, (fM, fE) = jax.lax.scan(
@@ -151,7 +153,7 @@ def pre_tn_batch(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
     )
 
     r_iota = jnp.arange(R)
-    Zf = fE[T_r - 1, r_iota, N_r - 1]
+    Zf = fE[T_r - 1, r_iota * N2 + N_r - 1]
 
     # ---- backward scan with fused selection ----------------------------
     n_iota = jnp.arange(N2)[None, :]
@@ -159,6 +161,8 @@ def pre_tn_batch(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
     def bstep(carry, xs):
         M_next, E_next = carry
         sig_t, fM_t, fE_t, t = xs
+        fM_t = fM_t.reshape(R, N2)
+        fE_t = fE_t.reshape(R, N2)
         sc = _tn_scores(sig_t, mu_n, sinv_n, l2s_n, n_live)
         ext = jnp.concatenate([M_next[:, 1:] + sc + log_m1, neg1], axis=1)
         M_new = jnp.concatenate([neg1, E_next[:, 1:] + sc], axis=1)
@@ -241,7 +245,8 @@ def pre_tk_batch(sig, T_r, means, c1, c2, log_m1, log_e2,
         dead = (t > T_r - 1)[:, None]
         M_out = jnp.where(is_term | dead, NEG_INF, M_new)
         E_out = jnp.where(is_term, 0.0, jnp.where(dead, NEG_INF, E_new))
-        return (M_out, E_out), (M_out, E_out)
+        # store flat (R*K,) — see pre_tn_batch layout note
+        return (M_out, E_out), (M_out.reshape(-1), E_out.reshape(-1))
 
     negK = jnp.full((R, K), NEG_INF, dtype)
     sig_b = jnp.concatenate([sig, jnp.zeros((R, 1), dtype)], axis=1)
@@ -249,19 +254,20 @@ def pre_tk_batch(sig, T_r, means, c1, c2, log_m1, log_e2,
         bstep, (negK, negK), (sig_b.T, jnp.arange(T_pad, dtype=jnp.int32)),
         reverse=True,
     )
-    Zb = logsumexp(bE[0], axis=1)
+    Zb = logsumexp(bE[0].reshape(R, K), axis=1)
 
-    # ---- forward scan emitting the combined posteriors -----------------
-    # one scan over t = 0..T_pad-1 (t=0 emits the init column); the
-    # candidate selection runs OUTSIDE as one big batched top_k over
-    # (T*R, K) — a per-step top_k(cap) costs ~20x more wall-clock than a
-    # single large call
+    # ---- forward scan with fused selection -----------------------------
+    # one scan over t = 0..T_pad-1 (t=0 selects on the init column); the
+    # per-step top_k measured ~2.5x faster end-to-end than hoisting the
+    # selection into one big (T*R, K) top_k after the scan
     M0 = negK
     E0 = jnp.zeros((R, K), dtype)
 
     def fstep(carry, xs):
         M_prev, E_prev, finalE = carry
         sig_t, bM_t, bE_t, t = xs
+        bM_t = bM_t.reshape(R, K)
+        bE_t = bE_t.reshape(R, K)
         d = sig_t[:, None] - muk
         sc = c1k - c2k * d * d
         M_new = _prec_sum_b(E_prev, alphabet_size) + sc + log_m1
@@ -272,23 +278,19 @@ def pre_tk_batch(sig, T_r, means, c1, c2, log_m1, log_e2,
         E_out = jnp.where(first, E0, jnp.where(dead, NEG_INF, E_new))
         finalE = jnp.where((t == T_r - 1)[:, None], E_out, finalE)
         U = jnp.logaddexp(bM_t + M_out, bE_t + E_out)
-        return (M_out, E_out, finalE), U
+        cand, cnt, ovf = select_topk(
+            U, cap, ge_break=True, col_live=t <= T_r - 1, sentinel=K,
+        )
+        return (M_out, E_out, finalE), (cand, cnt, ovf)
 
     finalE0 = jnp.where((T_r == 1)[:, None], E0, negK)
     sig_f = jnp.concatenate([jnp.zeros((R, 1), dtype), sig], axis=1)  # sig[t-1]
     xs = (sig_f.T, bM, bE, jnp.arange(T_pad, dtype=jnp.int32))
-    (_, _, finalE), U = jax.lax.scan(fstep, (M0, E0, finalE0), xs)
-    Zf = logsumexp(finalE, axis=1)
-    col_live = (
-        jnp.arange(T_pad, dtype=jnp.int32)[:, None] <= (T_r - 1)[None, :]
-    ).reshape(-1)
-    cand, cnt, ovf = select_topk(
-        U.reshape(T_pad * R, K), cap, ge_break=True,
-        col_live=col_live, sentinel=K,
+    (_, _, finalE), (cand, cnt, ovf) = jax.lax.scan(
+        fstep, (M0, E0, finalE0), xs
     )
-    cand = jnp.sort(cand.reshape(T_pad, R, cap), axis=2)
-    cnt = cnt.reshape(T_pad, R)
-    ovf = ovf.reshape(T_pad, R)
+    Zf = logsumexp(finalE, axis=1)
+    cand = jnp.sort(cand, axis=2)
     return PreBatchResult(cand, cnt, Zf, Zb, ovf.any(axis=0))
 
 
@@ -322,13 +324,7 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     CK0 = cand_k0.shape[1]
     k_valid0 = jnp.arange(CK0)[None, :] < cnt_k[:, None]
     ck0 = jnp.where(k_valid0, cand_k0, K)
-    # membership via binary search in the sorted candidate row (both rows
-    # are ascending with K sentinels); K==K matches are masked by `live`
-    ft_idx = jax.vmap(
-        lambda v, tab: jnp.searchsorted(tab, v, side="left")
-    )(ks, ck0)
-    ft_idx = jnp.clip(ft_idx, 0, CK0 - 1)
-    from_tk = jnp.take_along_axis(ck0, ft_idx, axis=1) == ks
+    from_tk = (ks[:, :, None] == ck0[:, None, :]).any(-1)
 
     allowed = (
         live[:, None, :]
@@ -348,8 +344,13 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
         kmer_seq[jnp.clip(n_safe, 0, N_max - 2)], 0,
     )
 
+    # (T, CK, A) quantities are built and kept FLAT as (T, CK*A): a trailing
+    # A=4 minor dim tile-pads 4 -> 128 lanes (32x HBM expansion — a single
+    # (R, T, CK, A) gather intermediate is 9 GB at R=16), while (T, CK*A)
+    # pads benignly. Scan bodies reshape per-step rows back (KBs).
+    arange_a = jnp.arange(alphabet_size, dtype=ks.dtype)
     suc_base = (ks_safe % step) * alphabet_size
-    suc_vals = suc_base[:, :, None] + jnp.arange(alphabet_size)[None, None, :]
+    suc_flat = (suc_base[:, :, None] + arange_a[None, None, :]).reshape(T, -1)
 
     CKm = ks.shape[1]
     prev_n = jnp.concatenate([jnp.full((1, CN), N_max, cand_n.dtype), cand_n[:-1]], 0)
@@ -358,24 +359,18 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     next_ks = jnp.concatenate([ks[1:], jnp.full((1, CKm), K, ks.dtype)], 0)
 
     prec_base = ks_safe // alphabet_size
-    prec_vals = prec_base[:, :, None] + (
-        jnp.arange(alphabet_size)[None, None, :] * step
-    )
+    prec_flat = (
+        prec_base[:, :, None] + (arange_a * step)[None, None, :]
+    ).reshape(T, -1)
 
     def slot2(values, table):
-        """First slot of each value in the per-column sorted table, -1 if
-        absent. Binary search per column — O(C log C) instead of the
-        O(C^2) eq-broadcast, which dominated plan build time."""
-        idx = jax.vmap(
-            lambda v, tab: jnp.searchsorted(tab, v, side="left")
-        )(values, table)
-        idx_c = jnp.clip(idx, 0, table.shape[1] - 1).astype(jnp.int32)
-        found = jnp.take_along_axis(table, idx_c, axis=1) == values
-        return jnp.where(found, idx_c, -1)
-
-    def slot3(values, table):
-        Tn, Cv, Av = values.shape
-        return slot2(values.reshape(Tn, Cv * Av), table).reshape(Tn, Cv, Av)
+        """First slot of each value in the per-column table, -1 if absent.
+        Dense eq-broadcast: measured ~9x FASTER on TPU than vmapped binary
+        search (searchsorted lowers to gather chains — a VPU anti-pattern;
+        the O(C^2) compare is a few fused dense ops)."""
+        eq = values[:, :, None] == table[:, None, :]
+        found = eq.any(-1)
+        return jnp.where(found, jnp.argmax(eq, -1).astype(jnp.int32), -1)
 
     return NTCPlan(
         cand_n=cand_n.astype(jnp.int32), cnt_n=cnt_n.astype(jnp.int32),
@@ -384,11 +379,11 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
         kN=kN.astype(jnp.int32), mu_n=means[kN], c1_n=c1[kN], c2_n=c2[kN],
         kN2=kN2.astype(jnp.int32), mu_n2=means[kN2], c1_n2=c1[kN2], c2_n2=c2[kN2],
         row_same=slot2(cand_n, prev_n), row_prev=slot2(cand_n - 1, prev_n),
-        col_same=slot2(ks, prev_ks), col_prec=slot3(prec_vals, prev_ks),
+        col_same=slot2(ks, prev_ks), col_prec=slot2(prec_flat, prev_ks),
         brow_same=slot2(cand_n, next_n), brow_next=slot2(cand_n + 1, next_n),
-        bcol_same=slot2(ks, next_ks), bcol_suc=slot3(suc_vals, next_ks),
-        suc_vals=suc_vals.astype(jnp.int32),
-        mu_suc=means[suc_vals], c1_suc=c1[suc_vals], c2_suc=c2[suc_vals],
+        bcol_same=slot2(ks, next_ks), bcol_suc=slot2(suc_flat, next_ks),
+        suc_vals=suc_flat.astype(jnp.int32),
+        mu_suc=means[suc_flat], c1_suc=c1[suc_flat], c2_suc=c2[suc_flat],
     )
 
 
@@ -583,30 +578,6 @@ def _final_row_masks(plan: NTCPlan, dims: PlanDims, N_r, T_r):
     return cand_last, allowed_last, live_last, mask
 
 
-def ntc_forward_z_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
-                        N_r, T_r, kmer_size: int, dtype):
-    """Forward pass without storage; returns (Zf (R,), finalE (R, CN, CK))."""
-    init = _init_column(plan, dims, dtype)
-    T_pad = plan.cand_n.shape[0]
-
-    def step(carry, xs):
-        prev, finalE = carry
-        t, rest = xs[0], xs[1:]
-        out = _fwd_column(prev, rest, trans_log, dims, kmer_size, dtype)
-        out = jnp.where(t == 0, init, out)
-        finalE = jnp.where(
-            (t == T_r - 1)[:, None, None], out[:, E_ST], finalE
-        )
-        return (out, finalE), None
-
-    finalE0 = jnp.full_like(init[:, E_ST], NEG_INF)
-    xs = (jnp.arange(T_pad, dtype=jnp.int32),) + _fwd_xs(plan, sig)
-    (_, finalE), _ = jax.lax.scan(step, (init, finalE0), xs)
-    _, _, _, mask = _final_row_masks(plan, dims, N_r, T_r)
-    Zf = logsumexp(jnp.where(mask, finalE, NEG_INF), axis=(1, 2))
-    return Zf, finalE
-
-
 def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
                        N_r, T_r, kmer_size: int, dtype):
     """Backward pass storing flat (T, R, 5*CN*CK); ragged-T terminal
@@ -774,15 +745,20 @@ def _first_match(cands, dtype):
 
 
 def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
-                                Zf, trans_log, N_r, T_r, kmer_size: int,
+                                Z_norm, trans_log, N_r, T_r, kmer_size: int,
                                 dtype):
-    """Second forward scan: recompute fwd columns, emit posteriors
-    lp = fwd + bwd - Zf and the Viterbi max-DP choice bits in one pass
+    """THE forward scan: compute fwd columns, emit posteriors
+    lp = fwd + bwd - Z_norm and the Viterbi max-DP choice bits in one pass
     (ref getBorders: NTC.cpp:595-669; choices replace the reference's
-    equality-check walk, see ops/ntc_walk).
+    equality-check walk, see ops/ntc_walk). Z_norm is Zb from the stored
+    backward pass — equal to Zf by the forward-backward identity (the
+    reference asserts |Zf-Zb| <= EPSILON*cells before using Z,
+    NTC_main.cpp:168-175), which lets this single scan replace a separate
+    forward-Z pass; the terminal forward E column is returned so the
+    caller can still compute Zf for that consistency check.
 
     Returns (lp (T, R, 5*CN*CK) flat, choices (T, R, CN*CK) flat packed
-    int32, ap_final_E (R, CN, CK))."""
+    int32, ap_final_E (R, CN, CK), fwd_final_E (R, CN, CK))."""
     T_pad = plan.cand_n.shape[0]
     R, CN, CK, A = dims
 
@@ -790,7 +766,7 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
     ap_init = init  # E = 0 at (n==0, allowed), rest -inf — same layout
 
     def step(carry, xs):
-        fwd_prev, ap_prev, apE_final = carry
+        fwd_prev, ap_prev, apE_final, fwdE_final = carry
         t, bwd_t = xs[0], xs[1]
         fxs = xs[2:]
         bwd_t = bwd_t.reshape(R, 5, CN, CK)
@@ -803,7 +779,7 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
 
         fwd_t = _fwd_column(fwd_prev, fxs, trans_log, dims, kmer_size, dtype)
         fwd_t = jnp.where(t == 0, init, fwd_t)
-        lp = fwd_t + bwd_t - Zf[:, None, None, None]
+        lp = fwd_t + bwd_t - Z_norm[:, None, None, None]
 
         # Viterbi max over posteriors + first-match choices
         ge_same = _gr(ap_prev, row_same)
@@ -863,11 +839,11 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
             ch_e | (ch_a << 2) | (ch_p << 5) | (ch_s << 9) | (ch_i << 11)
         ).astype(jnp.int32)
         packed = jnp.where(t == 0, 0, packed)
-        apE_final = jnp.where(
-            (t == T_r - 1)[:, None, None], ap_out[:, E_ST], apE_final
-        )
+        is_term = (t == T_r - 1)[:, None, None]
+        apE_final = jnp.where(is_term, ap_out[:, E_ST], apE_final)
+        fwdE_final = jnp.where(is_term, fwd_t[:, E_ST], fwdE_final)
         return (
-            (fwd_t, ap_out, apE_final),
+            (fwd_t, ap_out, apE_final, fwdE_final),
             (lp.reshape(R, -1), packed.reshape(R, -1)),  # store flat
         )
 
@@ -875,23 +851,26 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
     xs = (
         jnp.arange(T_pad, dtype=jnp.int32), bwd,
     ) + _fwd_xs(plan, sig)
-    (_, _, apE_final), (lp, choices) = jax.lax.scan(
-        step, (init, ap_init, apE0), xs
+    (_, _, apE_final, fwdE_final), (lp, choices) = jax.lax.scan(
+        step, (init, ap_init, apE0, apE0), xs
     )
-    return lp, choices, apE_final
+    return lp, choices, apE_final, fwdE_final
 
 
-def ntc_z_batch(plan: NTCPlan, dims: PlanDims, finalE, bwd0, N_r, T_r):
-    """Zf from the forward terminal column, Zb over E at (0, n==0 slots)
-    (ref: NTC_main.cpp:152-158), dead/duplicate slots excluded."""
-    R, CN, CK, _ = dims
+def ntc_zf_batch(plan: NTCPlan, dims: PlanDims, finalE, N_r, T_r):
+    """Zf from the forward terminal E column (ref: NTC_main.cpp:159-165),
+    dead/duplicate slots excluded."""
     _, _, _, mask = _final_row_masks(plan, dims, N_r, T_r)
-    Zf = logsumexp(jnp.where(mask, finalE, NEG_INF), axis=(1, 2))
+    return logsumexp(jnp.where(mask, finalE, NEG_INF), axis=(1, 2))
+
+
+def ntc_zb_batch(plan: NTCPlan, dims: PlanDims, bwd0):
+    """Zb over E at (t=0, n==0 slots) (ref: NTC_main.cpp:152-158)."""
+    R, CN, CK, _ = dims
     row0 = (
         (plan.cand_n[0].reshape(R, CN) == 0)[:, :, None]
         & plan.allowed[0].reshape(R, CN, CK)
         & plan.live[0].reshape(R, CK)[:, None, :]
     )
     bwd0 = bwd0.reshape(R, 5, CN, CK)
-    Zb = logsumexp(jnp.where(row0, bwd0[:, E_ST], NEG_INF), axis=(1, 2))
-    return Zf, Zb
+    return logsumexp(jnp.where(row0, bwd0[:, E_ST], NEG_INF), axis=(1, 2))

@@ -107,15 +107,13 @@ def main():
         a, b, c, d, kid_d, N_r, mu_d, c1_d, c2_d, 4, S, dtype)[0])
     plan = timed("build_plan", f_plan, pn.cand, pn.cnt, pk.cand, pk.cnt)
 
-    f_fwd = jax.jit(lambda p: nb.ntc_forward_z_batch(
-        p, dims, sig_d.astype(dtype), ntk, N_r, T_r, S, dtype))
-    Zf, finalE = timed("fwd_z", f_fwd, plan)
     f_bwd = jax.jit(lambda p: nb.ntc_backward_batch(
         p, dims, sig_d.astype(dtype), ntk, N_r, T_r, S, dtype))
     bwd = timed("bwd", f_bwd, plan)
+    Zb = jax.jit(lambda p, b: nb.ntc_zb_batch(p, dims, b))(plan, bwd[0])
     f_pv = jax.jit(lambda p, b, z: nb.ntc_posterior_viterbi_batch(
         p, dims, sig_d.astype(dtype), b, z, ntk, N_r, T_r, S, dtype))
-    lp, choices, apE = timed("post_viterbi", f_pv, plan, bwd, Zf)
+    lp, choices, apE, _fE = timed("post_viterbi", f_pv, plan, bwd, Zb)
 
     f_walk = jax.jit(lambda p, l, c, a: nw.ntc_walk_batch(
         p, dims, l, c, N_r, T_r,
