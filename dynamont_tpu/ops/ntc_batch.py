@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dynamont_tpu.ops.ntc_dp import NTCPlan, hamming2
+from dynamont_tpu.ops.ntc_dp import NTCPlan
 from dynamont_tpu.ops.ntc_pre import SPARSE_THRESHOLD
 from dynamont_tpu.utils.logmath import logsumexp
 
@@ -56,21 +56,26 @@ def select_topk(U, cap: int, ge_break: bool, col_live, sentinel: int):
 
     U: (R, W) combined log-probs f+b (unnormalized). The 95%-mass crossing
     (ref: NTC.cpp:266-270 '>' for TN, :337-341 '>=' for TK) is tested
-    against the COLUMN's own logsumexp rather than the global Z the
-    reference divides by: they are equal by the forward-backward identity,
-    but the global Z drifts from the per-column sums by ~0.5 nats in fp32
-    over ~16k scan steps, which would fail the crossing (and overflow the
-    cap) on nearly every column. Returns (cand (R, cap) int32
-    selection-ordered w/ sentinel, count, overflow).
+    against the COLUMN's own mass rather than the global Z the reference
+    divides by: they are equal by the forward-backward identity, but the
+    global Z drifts from the per-column sums by ~0.5 nats in fp32 over
+    ~16k scan steps, which would fail the crossing (and overflow the cap)
+    on nearly every column. Returns (cand (R, cap) int32 selection-ordered
+    (descending value) with the valid entries as a prefix and `sentinel`
+    elsewhere, count, overflow).
     """
-    m = jnp.max(U, axis=1, keepdims=True)
-    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    col_z = jnp.log(jnp.sum(jnp.exp(U - m_safe), axis=1)) + m_safe[:, 0]
-    col_z = jnp.where(jnp.isfinite(m[:, 0]), col_z, NEG_INF)
-    thresh = SPARSE_THRESHOLD + col_z
     vals, idx = jax.lax.top_k(U, cap)  # desc, ties -> lower index first
-    run = jax.lax.associative_scan(jnp.logaddexp, vals, axis=1)
-    crossed = run >= thresh[:, None] if ge_break else run > thresh[:, None]
+    # crossing test in exp space relative to the column max: one exp +
+    # cumsum instead of an associative logaddexp scan (7 levels x
+    # exp/log per element) + a separate logsumexp; exactly the same
+    # comparison up to fp rounding of exp()
+    m = vals[:, :1]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    tot = jnp.sum(jnp.exp(U - m_safe), axis=1, keepdims=True)
+    run = jnp.cumsum(jnp.exp(vals - m_safe), axis=1)
+    thresh = math.exp(SPARSE_THRESHOLD) * tot
+    dead = ~jnp.isfinite(m)
+    crossed = (run >= thresh if ge_break else run > thresh) & ~dead
     prev = jnp.concatenate(
         [jnp.zeros_like(crossed[:, :1]), crossed[:, :-1]], axis=1
     )
@@ -186,7 +191,9 @@ def pre_tn_batch(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
         bstep, (M0, M0), xs, reverse=True
     )
     Zb = E_back0[:, 0]
-    cand = jnp.sort(cand, axis=2)  # ascending with sentinel at the end
+    # ascending candidate order is required downstream: the I-state chain
+    # walks n-slots in increasing n (ref: NTC.cpp:474-477)
+    cand = jnp.sort(cand, axis=2)
     return PreBatchResult(cand, cnt, Zf, Zb, ovf.any(axis=0))
 
 
@@ -290,7 +297,8 @@ def pre_tk_batch(sig, T_r, means, c1, c2, log_m1, log_e2,
         fstep, (M0, E0, finalE0), xs
     )
     Zf = logsumexp(finalE, axis=1)
-    cand = jnp.sort(cand, axis=2)
+    # k-candidates stay in selection order: every downstream slot lookup is
+    # an eq-broadcast (order-agnostic), so no ascending sort is needed
     return PreBatchResult(cand, cnt, Zf, Zb, ovf.any(axis=0))
 
 
@@ -315,16 +323,26 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     )
     base_k = jnp.where(n_valid & (cand_n >= 1), kN, K)
 
-    merged = jnp.concatenate([cand_k0, base_k], axis=1)
-    ks = jnp.sort(merged, axis=1).astype(jnp.int32)
-    first = jnp.concatenate(
-        [jnp.ones((T, 1), bool), ks[:, 1:] != ks[:, :-1]], axis=1
-    )
-    live = first & (ks < K)
+    # k-slot list: TK candidates (selection order) ++ the read's own kmer
+    # per n-slot. No sort — slot lookups are eq-broadcasts, and dedup is a
+    # "no earlier equal slot" triangular compare instead of adjacency.
+    ks = jnp.concatenate([cand_k0, base_k], axis=1).astype(jnp.int32)
+    CKm_ = ks.shape[1]
+    earlier = jnp.tril(jnp.ones((CKm_, CKm_), bool), k=-1)
+    dup = ((ks[:, :, None] == ks[:, None, :]) & earlier[None]).any(-1)
+    live = ~dup & (ks < K)
     CK0 = cand_k0.shape[1]
     k_valid0 = jnp.arange(CK0)[None, :] < cnt_k[:, None]
     ck0 = jnp.where(k_valid0, cand_k0, K)
-    from_tk = (ks[:, :, None] == ck0[:, None, :]).any(-1)
+    # membership via a per-column dense bool table over kmer values:
+    # one scatter + one gather instead of a (T, CKm, CK0) eq-broadcast
+    # (which XLA materializes -> ~1 GB of HBM traffic per read)
+    t_iota = jnp.arange(T)[:, None]
+    is_tk = jnp.zeros((T, K + 1), bool).at[t_iota, ck0].set(
+        True, mode="drop"
+    )
+    is_tk = is_tk.at[:, K].set(False)
+    from_tk = jnp.take_along_axis(is_tk, jnp.clip(ks, 0, K), axis=1)
 
     allowed = (
         live[:, None, :]
@@ -344,6 +362,29 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
         kmer_seq[jnp.clip(n_safe, 0, N_max - 2)], 0,
     )
 
+    def hd_count(a, b, ndigits):
+        acc = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape), jnp.int32)
+        x, y = a, b
+        for _ in range(ndigits):
+            acc = acc + (
+                (x % alphabet_size) != (y % alphabet_size)
+            ).astype(jnp.int32)
+            x = x // alphabet_size
+            y = y // alphabet_size
+        return acc.astype(jnp.int8)
+
+    # Hamming tables (see NTCPlan): hoists all in-scan hamming2 calls —
+    # including the 2*A successor variants of the backward pass — into
+    # per-(t, slot-pair) int8 lookups built once per bucket
+    kNc, kN2c = kN[:, :, None], kN2[:, :, None]
+    ksc = ks_safe[:, None, :]
+    hd1 = hd_count(kNc, ksc, kmer_size)
+    hd2 = hd_count(kN2c, ksc, kmer_size)
+    hd1s = hd_count(kNc // alphabet_size, ksc, kmer_size - 1)
+    hd2s = hd_count(kN2c // alphabet_size, ksc, kmer_size - 1)
+    d01 = (kN % alphabet_size).astype(jnp.int8)
+    d02 = (kN2 % alphabet_size).astype(jnp.int8)
+
     # (T, CK, A) quantities are built and kept FLAT as (T, CK*A): a trailing
     # A=4 minor dim tile-pads 4 -> 128 lanes (32x HBM expansion — a single
     # (R, T, CK, A) gather intermediate is 9 GB at R=16), while (T, CK*A)
@@ -354,9 +395,7 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
 
     CKm = ks.shape[1]
     prev_n = jnp.concatenate([jnp.full((1, CN), N_max, cand_n.dtype), cand_n[:-1]], 0)
-    prev_ks = jnp.concatenate([jnp.full((1, CKm), K, ks.dtype), ks[:-1]], 0)
     next_n = jnp.concatenate([cand_n[1:], jnp.full((1, CN), N_max, cand_n.dtype)], 0)
-    next_ks = jnp.concatenate([ks[1:], jnp.full((1, CKm), K, ks.dtype)], 0)
 
     prec_base = ks_safe // alphabet_size
     prec_flat = (
@@ -365,12 +404,28 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
 
     def slot2(values, table):
         """First slot of each value in the per-column table, -1 if absent.
-        Dense eq-broadcast: measured ~9x FASTER on TPU than vmapped binary
-        search (searchsorted lowers to gather chains — a VPU anti-pattern;
-        the O(C^2) compare is a few fused dense ops)."""
+        Dense eq-broadcast — fine for the CN=8-wide n-tables."""
         eq = values[:, :, None] == table[:, None, :]
         found = eq.any(-1)
         return jnp.where(found, jnp.argmax(eq, -1).astype(jnp.int32), -1)
+
+    # k-maps via a per-column inverse lookup over kmer values: ONE
+    # scatter-min table (first slot wins, dead duplicates lose) + cheap
+    # gathers, instead of (T, CKm|CKm*A, CKm) eq-broadcasts that cost
+    # gigabytes of HBM traffic per read. Column K holds the sentinel.
+    slot_tab = jnp.full((T, K + 1), CKm, jnp.int32)
+    slot_tab = slot_tab.at[t_iota, ks].min(
+        jnp.broadcast_to(jnp.arange(CKm, dtype=jnp.int32)[None], ks.shape),
+        mode="drop",
+    )
+    slot_tab = slot_tab.at[:, K].set(CKm)
+    rowCK = jnp.full((1, K + 1), CKm, jnp.int32)
+    prev_tab = jnp.concatenate([rowCK, slot_tab[:-1]], 0)
+    next_tab = jnp.concatenate([slot_tab[1:], rowCK], 0)
+
+    def kslot(tab, values):
+        got = jnp.take_along_axis(tab, jnp.clip(values, 0, K), axis=1)
+        return jnp.where(got < CKm, got, -1)
 
     return NTCPlan(
         cand_n=cand_n.astype(jnp.int32), cnt_n=cnt_n.astype(jnp.int32),
@@ -379,11 +434,12 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
         kN=kN.astype(jnp.int32), mu_n=means[kN], c1_n=c1[kN], c2_n=c2[kN],
         kN2=kN2.astype(jnp.int32), mu_n2=means[kN2], c1_n2=c1[kN2], c2_n2=c2[kN2],
         row_same=slot2(cand_n, prev_n), row_prev=slot2(cand_n - 1, prev_n),
-        col_same=slot2(ks, prev_ks), col_prec=slot2(prec_flat, prev_ks),
+        col_same=kslot(prev_tab, ks), col_prec=kslot(prev_tab, prec_flat),
         brow_same=slot2(cand_n, next_n), brow_next=slot2(cand_n + 1, next_n),
-        bcol_same=slot2(ks, next_ks), bcol_suc=slot2(suc_flat, next_ks),
+        bcol_same=kslot(next_tab, ks), bcol_suc=kslot(next_tab, suc_flat),
         suc_vals=suc_flat.astype(jnp.int32),
         mu_suc=means[suc_flat], c1_suc=c1[suc_flat], c2_suc=c2[suc_flat],
+        hd1=hd1, hd2=hd2, hd1s=hd1s, hd2s=hd2s, d01=d01, d02=d02,
     )
 
 
@@ -445,13 +501,12 @@ def _fwd_column(prev, xs_t, tl, dims: PlanDims, kmer_size, dtype):
     transcription of ops/ntc_dp.ntc_forward's scan body. xs rows arrive
     flattened (see build_plan_batch) and are reshaped here."""
     R, CN, CK, alphabet_size = dims
-    (sig_t, cn, ks, allowed, mu_k, c1_k, c2_k, kN, mu_n, c1_n, c2_n,
+    (sig_t, cn, allowed, mu_k, c1_k, c2_k, hd1, mu_n, c1_n, c2_n,
      row_same, row_prev, col_same, col_prec) = xs_t
     cn = cn.reshape(R, CN)
-    ks = ks.reshape(R, CK)
     allowed = allowed.reshape(R, CN, CK)
     mu_k, c1_k, c2_k = (a.reshape(R, CK) for a in (mu_k, c1_k, c2_k))
-    kN, mu_n, c1_n, c2_n = (a.reshape(R, CN) for a in (kN, mu_n, c1_n, c2_n))
+    mu_n, c1_n, c2_n = (a.reshape(R, CN) for a in (mu_n, c1_n, c2_n))
     row_same = row_same.reshape(R, CN)
     row_prev = row_prev.reshape(R, CN)
     col_same = col_same.reshape(R, CK)
@@ -461,8 +516,8 @@ def _fwd_column(prev, xs_t, tl, dims: PlanDims, kmer_size, dtype):
     sc_n = c1_n - c2_n * d_n * d_n
     d_k = sig_t[:, None] - mu_k
     sc_k = c1_k - c2_k * d_k * d_k
-    hd = hamming2(kN[:, :, None], ks[:, None, :], alphabet_size, kmer_size)
-    sc = sc_n[:, :, None] + sc_k[:, None, :] + hd.astype(dtype)
+    hd = -2.0 * hd1.reshape(R, CN, CK).astype(dtype)
+    sc = sc_n[:, :, None] + sc_k[:, None, :] + hd
 
     ge_same = _gr(prev, row_same)
     ge_prev = _gr(prev, row_prev)
@@ -541,9 +596,9 @@ def _fwd_xs(plan: NTCPlan, sig):
     R = sig.shape[0]
     sig_f = jnp.concatenate([jnp.zeros((R, 1), sig.dtype), sig], axis=1)
     return (
-        sig_f.T, plan.cand_n, plan.ks, plan.allowed,
-        plan.mu_k, plan.c1_k, plan.c2_k,
-        plan.kN, plan.mu_n, plan.c1_n, plan.c2_n,
+        sig_f.T, plan.cand_n, plan.allowed,
+        plan.mu_k, plan.c1_k, plan.c2_k, plan.hd1,
+        plan.mu_n, plan.c1_n, plan.c2_n,
         plan.row_same, plan.row_prev, plan.col_same,
         plan.col_prec,
     )
@@ -588,22 +643,27 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
 
     def step(carry, xs):
         nxt = carry
-        (sig_t, sig_tm1, t, cn, allowed, ks, mu_k, c1_k, c2_k, kN, mu_n,
-         c1_n, c2_n, kN2, mu_n2, c1_n2, c2_n2, brow_same, brow_next,
-         bcol_same, bcol_suc, suc_vals, mu_suc, c1_suc, c2_suc) = xs
+        (sig_t, sig_tm1, t, cn, allowed, mu_k, c1_k, c2_k, mu_n,
+         c1_n, c2_n, mu_n2, c1_n2, c2_n2, hd1t, hd2t, hd1st, hd2st,
+         d01, d02, brow_same, brow_next,
+         bcol_same, bcol_suc, mu_suc, c1_suc, c2_suc) = xs
         cn = cn.reshape(R, CN)
         allowed = allowed.reshape(R, CN, CK)
-        ks = ks.reshape(R, CK)
         mu_k, c1_k, c2_k = (a.reshape(R, CK) for a in (mu_k, c1_k, c2_k))
-        kN, mu_n, c1_n, c2_n = (
-            a.reshape(R, CN) for a in (kN, mu_n, c1_n, c2_n))
-        kN2, mu_n2, c1_n2, c2_n2 = (
-            a.reshape(R, CN) for a in (kN2, mu_n2, c1_n2, c2_n2))
+        mu_n, c1_n, c2_n = (
+            a.reshape(R, CN) for a in (mu_n, c1_n, c2_n))
+        mu_n2, c1_n2, c2_n2 = (
+            a.reshape(R, CN) for a in (mu_n2, c1_n2, c2_n2))
+        hd1 = -2.0 * hd1t.reshape(R, CN, CK).astype(dtype)
+        hd2 = -2.0 * hd2t.reshape(R, CN, CK).astype(dtype)
+        hd1s = hd1st.reshape(R, CN, CK).astype(dtype)
+        hd2s = hd2st.reshape(R, CN, CK).astype(dtype)
+        d01 = d01.reshape(R, CN)
+        d02 = d02.reshape(R, CN)
         brow_same = brow_same.reshape(R, CN)
         brow_next = brow_next.reshape(R, CN)
         bcol_same = bcol_same.reshape(R, CK)
         bcol_suc = bcol_suc.reshape(R, CK, alphabet_size)
-        suc_vals = suc_vals.reshape(R, CK, alphabet_size)
         mu_suc, c1_suc, c2_suc = (
             a.reshape(R, CK, alphabet_size) for a in (mu_suc, c1_suc, c2_suc))
 
@@ -613,10 +673,6 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
         scn2 = c1_n2 - c2_n2 * d_n2 * d_n2
         d_k = sig_t[:, None] - mu_k
         sck = c1_k - c2_k * d_k * d_k
-        hd1 = hamming2(kN[:, :, None], ks[:, None, :], alphabet_size,
-                       kmer_size).astype(dtype)
-        hd2 = hamming2(kN2[:, :, None], ks[:, None, :], alphabet_size,
-                       kmer_size).astype(dtype)
         sc1 = scn[:, :, None] + sck[:, None, :] + hd1
         sc2 = scn2[:, :, None] + sck[:, None, :] + hd2
 
@@ -638,10 +694,10 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
         for ai in range(alphabet_size):
             d_s = sig_t[:, None] - mu_suc[:, :, ai]
             scs = c1_suc[:, :, ai] - c2_suc[:, :, ai] * d_s * d_s
-            hds1 = hamming2(kN[:, :, None], suc_vals[:, None, :, ai],
-                            alphabet_size, kmer_size).astype(dtype)
-            hds2 = hamming2(kN2[:, :, None], suc_vals[:, None, :, ai],
-                            alphabet_size, kmer_size).astype(dtype)
+            # HD vs the a-successor of k_j decomposes into the shifted
+            # table + a first-digit mismatch (see NTCPlan.hd1s)
+            hds1 = -2.0 * (hd1s + (d01 != ai)[:, :, None].astype(dtype))
+            hds2 = -2.0 * (hd2s + (d02 != ai)[:, :, None].astype(dtype))
             sc1s = scn[:, :, None] + scs[:, None, :] + hds1
             sc2s = scn2[:, :, None] + scs[:, None, :] + hds2
             gsp = _gc(gn_same, bcol_suc[:, :, ai])
@@ -715,12 +771,13 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
     sig_prev = jnp.concatenate([jnp.zeros((sig.shape[0], 1), dtype), sig_pad[:, :-1]], 1)
     xs = (
         sig_pad.T, sig_prev.T, jnp.arange(T_pad, dtype=jnp.int32),
-        plan.cand_n, plan.allowed, plan.ks,
+        plan.cand_n, plan.allowed,
         plan.mu_k, plan.c1_k, plan.c2_k,
-        plan.kN, plan.mu_n, plan.c1_n, plan.c2_n,
-        plan.kN2, plan.mu_n2, plan.c1_n2, plan.c2_n2,
+        plan.mu_n, plan.c1_n, plan.c2_n,
+        plan.mu_n2, plan.c1_n2, plan.c2_n2,
+        plan.hd1, plan.hd2, plan.hd1s, plan.hd2s, plan.d01, plan.d02,
         plan.brow_same, plan.brow_next, plan.bcol_same,
-        plan.bcol_suc, plan.suc_vals,
+        plan.bcol_suc,
         plan.mu_suc, plan.c1_suc, plan.c2_suc,
     )
     init = jnp.full((R, 5, CN, CK), NEG_INF, dtype)
@@ -771,11 +828,11 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
         fxs = xs[2:]
         bwd_t = bwd_t.reshape(R, 5, CN, CK)
         cn = fxs[1].reshape(R, CN)
-        allowed = fxs[3].reshape(R, CN, CK)
-        row_same = fxs[11].reshape(R, CN)
-        row_prev = fxs[12].reshape(R, CN)
-        col_same = fxs[13].reshape(R, CK)
-        col_prec = fxs[14].reshape(R, CK, A)
+        allowed = fxs[2].reshape(R, CN, CK)
+        row_same = fxs[10].reshape(R, CN)
+        row_prev = fxs[11].reshape(R, CN)
+        col_same = fxs[12].reshape(R, CK)
+        col_prec = fxs[13].reshape(R, CK, A)
 
         fwd_t = _fwd_column(fwd_prev, fxs, trans_log, dims, kmer_size, dtype)
         fwd_t = jnp.where(t == 0, init, fwd_t)

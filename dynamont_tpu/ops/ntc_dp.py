@@ -75,6 +75,18 @@ class NTCPlan(NamedTuple):
     mu_suc: jax.Array     # (T, CK, A) model params of successors
     c1_suc: jax.Array
     c2_suc: jax.Array
+    # precomputed Hamming tables (batched path only; the per-read exact
+    # path computes distances in-scan). Counts, int8:
+    #   hd1[i,j]  = HD(kN_i, k_j); hd2[i,j] = HD(kN2_i, k_j)
+    #   hd1s[i,j] = sum_{p=0..S-2} [digit_{p+1}(kN_i)  != digit_p(k_j)]
+    #   hd2s[i,j] = same with kN2 — so that HD(x, suc_a(k)) decomposes as
+    #   hdXs[i,j] + [digit_0(x) != a] (successor = left-shift + append a)
+    hd1: jax.Array | None = None   # (T, CN, CK) int8
+    hd2: jax.Array | None = None
+    hd1s: jax.Array | None = None
+    hd2s: jax.Array | None = None
+    d01: jax.Array | None = None   # (T, CN) int8 lowest digit of kN
+    d02: jax.Array | None = None   # (T, CN) int8 lowest digit of kN2
 
 
 def hamming2(a, b, alphabet_size: int, kmer_size: int):
