@@ -324,20 +324,26 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     base_k = jnp.where(n_valid & (cand_n >= 1), kN, K)
 
     # k-slot list: TK candidates (selection order) ++ the read's own kmer
-    # per n-slot. No sort — slot lookups are eq-broadcasts, and dedup is a
-    # "no earlier equal slot" triangular compare instead of adjacency.
+    # per n-slot. No sort — slot lookups go through a first-slot-wins
+    # inverse table (built once here, reused for the k-maps below), and a
+    # slot is a duplicate iff it is not its own value's first slot.
     ks = jnp.concatenate([cand_k0, base_k], axis=1).astype(jnp.int32)
-    CKm_ = ks.shape[1]
-    earlier = jnp.tril(jnp.ones((CKm_, CKm_), bool), k=-1)
-    dup = ((ks[:, :, None] == ks[:, None, :]) & earlier[None]).any(-1)
-    live = ~dup & (ks < K)
+    CKm = ks.shape[1]
+    t_iota = jnp.arange(T)[:, None]
+    slot_tab = jnp.full((T, K + 1), CKm, jnp.int32)
+    slot_tab = slot_tab.at[t_iota, ks].min(
+        jnp.broadcast_to(jnp.arange(CKm, dtype=jnp.int32)[None], ks.shape),
+        mode="drop",
+    )
+    slot_tab = slot_tab.at[:, K].set(CKm)
+    first_slot = jnp.take_along_axis(slot_tab, jnp.clip(ks, 0, K), axis=1)
+    live = (first_slot == jnp.arange(CKm, dtype=jnp.int32)[None]) & (ks < K)
     CK0 = cand_k0.shape[1]
     k_valid0 = jnp.arange(CK0)[None, :] < cnt_k[:, None]
     ck0 = jnp.where(k_valid0, cand_k0, K)
     # membership via a per-column dense bool table over kmer values:
     # one scatter + one gather instead of a (T, CKm, CK0) eq-broadcast
     # (which XLA materializes -> ~1 GB of HBM traffic per read)
-    t_iota = jnp.arange(T)[:, None]
     is_tk = jnp.zeros((T, K + 1), bool).at[t_iota, ck0].set(
         True, mode="drop"
     )
@@ -393,7 +399,6 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     suc_base = (ks_safe % step) * alphabet_size
     suc_flat = (suc_base[:, :, None] + arange_a[None, None, :]).reshape(T, -1)
 
-    CKm = ks.shape[1]
     prev_n = jnp.concatenate([jnp.full((1, CN), N_max, cand_n.dtype), cand_n[:-1]], 0)
     next_n = jnp.concatenate([cand_n[1:], jnp.full((1, CN), N_max, cand_n.dtype)], 0)
 
@@ -409,16 +414,10 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
         found = eq.any(-1)
         return jnp.where(found, jnp.argmax(eq, -1).astype(jnp.int32), -1)
 
-    # k-maps via a per-column inverse lookup over kmer values: ONE
+    # k-maps via the same per-column inverse lookup (slot_tab above): ONE
     # scatter-min table (first slot wins, dead duplicates lose) + cheap
     # gathers, instead of (T, CKm|CKm*A, CKm) eq-broadcasts that cost
     # gigabytes of HBM traffic per read. Column K holds the sentinel.
-    slot_tab = jnp.full((T, K + 1), CKm, jnp.int32)
-    slot_tab = slot_tab.at[t_iota, ks].min(
-        jnp.broadcast_to(jnp.arange(CKm, dtype=jnp.int32)[None], ks.shape),
-        mode="drop",
-    )
-    slot_tab = slot_tab.at[:, K].set(CKm)
     rowCK = jnp.full((1, K + 1), CKm, jnp.int32)
     prev_tab = jnp.concatenate([rowCK, slot_tab[:-1]], 0)
     next_tab = jnp.concatenate([slot_tab[1:], rowCK], 0)
@@ -496,11 +495,29 @@ def _gc(x, col_idx):
     return jnp.where((col_idx >= 0)[:, None, None, :], g, NEG_INF)
 
 
+def _aff_log(x, y):
+    """Composition of log-affine maps v -> logaddexp(a, v + b); x applies
+    first. Used to run the in-column I chains as associative scans over the
+    CN axis instead of a CN-unrolled Python loop (TPU scan bodies here are
+    latency-bound on HLO op count, not FLOPs)."""
+    a1, b1 = x
+    a2, b2 = y
+    return jnp.logaddexp(a2, a1 + b2), b1 + b2
+
+
+def _aff_max(x, y):
+    """Max-plus variant of _aff_log (Viterbi I chain)."""
+    a1, b1 = x
+    a2, b2 = y
+    return jnp.maximum(a2, a1 + b2), b1 + b2
+
+
 def _fwd_column(prev, xs_t, tl, dims: PlanDims, kmer_size, dtype):
     """One forward column update (R, 5, CN, CK) -> same; the exact batched
     transcription of ops/ntc_dp.ntc_forward's scan body. xs rows arrive
     flattened (see build_plan_batch) and are reshaped here."""
     R, CN, CK, alphabet_size = dims
+    A = alphabet_size
     (sig_t, cn, allowed, mu_k, c1_k, c2_k, hd1, mu_n, c1_n, c2_n,
      row_same, row_prev, col_same, col_prec) = xs_t
     cn = cn.reshape(R, CN)
@@ -510,7 +527,7 @@ def _fwd_column(prev, xs_t, tl, dims: PlanDims, kmer_size, dtype):
     row_same = row_same.reshape(R, CN)
     row_prev = row_prev.reshape(R, CN)
     col_same = col_same.reshape(R, CK)
-    col_prec = col_prec.reshape(R, CK, alphabet_size)
+    col_prec = col_prec.reshape(R, CK * A)  # flat: one batched gather
 
     d_n = sig_t[:, None] - mu_n
     sc_n = c1_n - c2_n * d_n * d_n
@@ -522,69 +539,63 @@ def _fwd_column(prev, xs_t, tl, dims: PlanDims, kmer_size, dtype):
     ge_same = _gr(prev, row_same)
     ge_prev = _gr(prev, row_prev)
 
-    a_acc = jnp.full((R, CN, CK), NEG_INF, dtype)
-    p_acc = jnp.full((R, CN, CK), NEG_INF, dtype)
-    for ai in range(alphabet_size):
-        gp = _gc(ge_prev, col_prec[:, :, ai])
-        gs = _gc(ge_same, col_prec[:, :, ai])
-        a_acc = jnp.logaddexp(
-            a_acc,
-            jnp.logaddexp(gp[:, E_ST] + tl["a1"], gp[:, I_ST] + tl["a2"]),
-        )
-        p_acc = jnp.logaddexp(
-            p_acc,
-            jnp.logaddexp(
-                gs[:, S_ST] + tl["p1"],
-                jnp.logaddexp(gs[:, E_ST] + tl["p2"], gs[:, I_ST] + tl["p3"]),
-            ),
-        )
+    # alphabet-batched predecessor gathers: (R, 5, CN, CK*A) in one op
+    gp = _gc(ge_prev, col_prec).reshape(R, 5, CN, CK, A)
+    gs = _gc(ge_same, col_prec).reshape(R, 5, CN, CK, A)
+    a_terms = jnp.stack(
+        [gp[:, E_ST] + tl["a1"], gp[:, I_ST] + tl["a2"]], axis=-1
+    )
+    a_acc = logsumexp(a_terms.reshape(R, CN, CK, 2 * A), axis=-1)
+    p_terms = jnp.stack(
+        [gs[:, S_ST] + tl["p1"], gs[:, E_ST] + tl["p2"],
+         gs[:, I_ST] + tl["p3"]], axis=-1,
+    )
+    p_acc = logsumexp(p_terms.reshape(R, CN, CK, 3 * A), axis=-1)
     a_new = a_acc + sc
     p_new = p_acc + sc
 
     gpk = _gc(ge_prev, col_same)
     s_new = (
-        jnp.logaddexp(
-            gpk[:, P_ST] + tl["s1"],
-            jnp.logaddexp(gpk[:, E_ST] + tl["s2"], gpk[:, I_ST] + tl["s3"]),
+        logsumexp(
+            jnp.stack(
+                [gpk[:, P_ST] + tl["s1"], gpk[:, E_ST] + tl["s2"],
+                 gpk[:, I_ST] + tl["s3"]], axis=-1,
+            ),
+            axis=-1,
         )
         + sc
     )
     gsk = _gc(ge_same, col_same)
     e_new = (
-        jnp.logaddexp(
-            jnp.logaddexp(gsk[:, A_ST], gsk[:, P_ST] + tl["e2"]),
-            jnp.logaddexp(gsk[:, S_ST] + tl["e3"], gsk[:, E_ST] + tl["e4"]),
+        logsumexp(
+            jnp.stack(
+                [gsk[:, A_ST], gsk[:, P_ST] + tl["e2"],
+                 gsk[:, S_ST] + tl["e3"], gsk[:, E_ST] + tl["e4"]], axis=-1,
+            ),
+            axis=-1,
         )
         + sc
     )
 
     n_pos = (cn >= 1)[:, :, None]
-    a_new = jnp.where(allowed & n_pos, a_new, NEG_INF)
-    p_new = jnp.where(allowed & n_pos, p_new, NEG_INF)
-    s_new = jnp.where(allowed & n_pos, s_new, NEG_INF)
-    e_new = jnp.where(allowed & n_pos, e_new, NEG_INF)
+    ok = allowed & n_pos
+    a_new = jnp.where(ok, a_new, NEG_INF)
+    p_new = jnp.where(ok, p_new, NEG_INF)
+    s_new = jnp.where(ok, s_new, NEG_INF)
+    e_new = jnp.where(ok, e_new, NEG_INF)
 
-    # I: in-column chain over n-slots (ref: NTC.cpp:474-477)
-    i_rows = []
-    i_prev_row = jnp.full((R, CK), NEG_INF, dtype)
-    for i_slot in range(CN):
-        if i_slot == 0:
-            chain = jnp.zeros((R,), bool)
-            e_above = jnp.full((R, CK), NEG_INF, dtype)
-        else:
-            chain = cn[:, i_slot - 1] == cn[:, i_slot] - 1
-            e_above = e_new[:, i_slot - 1]
-        term = (
-            jnp.logaddexp(e_above + tl["i1"], i_prev_row + tl["i2"])
-            + sc[:, i_slot]
-        )
-        i_row = jnp.where(
-            chain[:, None] & allowed[:, i_slot] & (cn[:, i_slot] >= 1)[:, None],
-            term, NEG_INF,
-        )
-        i_rows.append(i_row)
-        i_prev_row = i_row
-    i_new = jnp.stack(i_rows, axis=1)
+    # I: in-column chain over n-slots (ref: NTC.cpp:474-477) as a
+    # log-affine associative scan: i[s] = LA(e[s-1]+i1+sc, i[s-1]+i2+sc)
+    e_above = jnp.concatenate(
+        [jnp.full((R, 1, CK), NEG_INF, dtype), e_new[:, :-1]], axis=1
+    )
+    chain = jnp.concatenate(
+        [jnp.zeros((R, 1), bool), cn[:, :-1] == cn[:, 1:] - 1], axis=1
+    )
+    cond = chain[:, :, None] & ok
+    iA = jnp.where(cond, e_above + tl["i1"] + sc, NEG_INF)
+    iB = jnp.where(cond, tl["i2"] + sc, NEG_INF)
+    i_new, _ = jax.lax.associative_scan(_aff_log, (iA, iB), axis=1)
 
     return jnp.stack([a_new, p_new, s_new, e_new, i_new], axis=1)
 
@@ -647,6 +658,7 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
          c1_n, c2_n, mu_n2, c1_n2, c2_n2, hd1t, hd2t, hd1st, hd2st,
          d01, d02, brow_same, brow_next,
          bcol_same, bcol_suc, mu_suc, c1_suc, c2_suc) = xs
+        A = alphabet_size
         cn = cn.reshape(R, CN)
         allowed = allowed.reshape(R, CN, CK)
         mu_k, c1_k, c2_k = (a.reshape(R, CK) for a in (mu_k, c1_k, c2_k))
@@ -663,9 +675,9 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
         brow_same = brow_same.reshape(R, CN)
         brow_next = brow_next.reshape(R, CN)
         bcol_same = bcol_same.reshape(R, CK)
-        bcol_suc = bcol_suc.reshape(R, CK, alphabet_size)
+        bcol_suc = bcol_suc.reshape(R, CK * A)  # flat: one batched gather
         mu_suc, c1_suc, c2_suc = (
-            a.reshape(R, CK, alphabet_size) for a in (mu_suc, c1_suc, c2_suc))
+            a.reshape(R, CK * A) for a in (mu_suc, c1_suc, c2_suc))
 
         d_n = sig_t[:, None] - mu_n
         scn = c1_n - c2_n * d_n * d_n
@@ -688,72 +700,74 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
             jnp.where(n_pos, gsk[:, E_ST] + tl["e2"] + sc1, NEG_INF),
             jnp.where(n_lt, gnk[:, S_ST] + tl["s1"] + sc2, NEG_INF),
         )
-        s_acc = jnp.where(n_pos, gsk[:, E_ST] + tl["e3"] + sc1, NEG_INF)
-        e_acc = jnp.where(n_pos, gsk[:, E_ST] + tl["e4"] + sc1, NEG_INF)
-        i_acc = jnp.full_like(a_new, NEG_INF)
-        for ai in range(alphabet_size):
-            d_s = sig_t[:, None] - mu_suc[:, :, ai]
-            scs = c1_suc[:, :, ai] - c2_suc[:, :, ai] * d_s * d_s
-            # HD vs the a-successor of k_j decomposes into the shifted
-            # table + a first-digit mismatch (see NTCPlan.hd1s)
-            hds1 = -2.0 * (hd1s + (d01 != ai)[:, :, None].astype(dtype))
-            hds2 = -2.0 * (hd2s + (d02 != ai)[:, :, None].astype(dtype))
-            sc1s = scn[:, :, None] + scs[:, None, :] + hds1
-            sc2s = scn2[:, :, None] + scs[:, None, :] + hds2
-            gsp = _gc(gn_same, bcol_suc[:, :, ai])
-            gna = _gc(gn_next, bcol_suc[:, :, ai])
-            s_acc = jnp.logaddexp(
-                s_acc, jnp.where(n_pos, gsp[:, P_ST] + tl["p1"] + sc1s, NEG_INF)
-            )
-            e_acc = jnp.logaddexp(
-                e_acc, jnp.where(n_pos, gsp[:, P_ST] + tl["p2"] + sc1s, NEG_INF)
-            )
-            i_acc = jnp.logaddexp(
-                i_acc, jnp.where(n_pos, gsp[:, P_ST] + tl["p3"] + sc1s, NEG_INF)
-            )
-            e_acc = jnp.logaddexp(
-                e_acc, jnp.where(n_lt, gna[:, A_ST] + tl["a1"] + sc2s, NEG_INF)
-            )
-            i_acc = jnp.logaddexp(
-                i_acc, jnp.where(n_lt, gna[:, A_ST] + tl["a2"] + sc2s, NEG_INF)
-            )
-        s_new = s_acc
-        e_new = jnp.logaddexp(
-            e_acc, jnp.where(n_lt, gnk[:, S_ST] + tl["s2"] + sc2, NEG_INF)
+        # alphabet-batched successor terms (the ai-unrolled loop costs ~4x
+        # the HLO ops; scan bodies here are latency-bound on op count)
+        d_s = sig_t[:, None] - mu_suc
+        scs = (c1_suc - c2_suc * d_s * d_s).reshape(R, 1, CK, A)
+        # HD vs the a-successor of k_j decomposes into the shifted table +
+        # a first-digit mismatch (see NTCPlan.hd1s)
+        mism1 = (d01[:, :, None] != jnp.arange(A)[None, None, :]).astype(dtype)
+        mism2 = (d02[:, :, None] != jnp.arange(A)[None, None, :]).astype(dtype)
+        hds1 = -2.0 * (hd1s[:, :, :, None] + mism1[:, :, None, :])
+        hds2 = -2.0 * (hd2s[:, :, :, None] + mism2[:, :, None, :])
+        sc1s = scn[:, :, None, None] + scs + hds1  # (R, CN, CK, A)
+        sc2s = scn2[:, :, None, None] + scs + hds2
+        gsp = _gc(gn_same, bcol_suc).reshape(R, 5, CN, CK, A)
+        gna = _gc(gn_next, bcol_suc).reshape(R, 5, CN, CK, A)
+        gspP = jnp.where(n_pos[..., None], gsp[:, P_ST] + sc1s, NEG_INF)
+        gnaA = jnp.where(n_lt[..., None], gna[:, A_ST] + sc2s, NEG_INF)
+        base_s = jnp.where(n_pos, gsk[:, E_ST] + tl["e3"] + sc1, NEG_INF)
+        base_e = jnp.where(n_pos, gsk[:, E_ST] + tl["e4"] + sc1, NEG_INF)
+        gnkS = gnk[:, S_ST] + sc2
+        s_new = logsumexp(
+            jnp.concatenate([base_s[..., None], gspP + tl["p1"]], axis=-1),
+            axis=-1,
         )
-        i_new = jnp.logaddexp(
-            i_acc, jnp.where(n_lt, gnk[:, S_ST] + tl["s3"] + sc2, NEG_INF)
+        e_new = logsumexp(
+            jnp.concatenate(
+                [base_e[..., None], gspP + tl["p2"], gnaA + tl["a1"],
+                 jnp.where(n_lt, gnkS + tl["s2"], NEG_INF)[..., None]],
+                axis=-1,
+            ),
+            axis=-1,
+        )
+        i_new = logsumexp(
+            jnp.concatenate(
+                [gspP + tl["p3"], gnaA + tl["a2"],
+                 jnp.where(n_lt, gnkS + tl["s3"], NEG_INF)[..., None]],
+                axis=-1,
+            ),
+            axis=-1,
         )
 
-        # same-t I chain (ref: NTC.cpp:565-572): sig[t-1] and kmerSeq[n]
+        # same-t I chain (ref: NTC.cpp:565-572): sig[t-1] and kmerSeq[n],
+        # run as a log-affine associative scan from high to low slot
         d_km1 = sig_tm1[:, None] - mu_k
         sck_m1 = c1_k - c2_k * d_km1 * d_km1
         d_nm1 = sig_tm1[:, None] - mu_n2
         scn2_m1 = c1_n2 - c2_n2 * d_nm1 * d_nm1
         sc_i = scn2_m1[:, :, None] + sck_m1[:, None, :] + hd2
         t_pos = t > 0
-        i_full_rows = [None] * CN
-        e_rows = [None] * CN
-        i_below = jnp.full((R, CK), NEG_INF, dtype)
-        for i_slot in range(CN - 1, -1, -1):
-            if i_slot == CN - 1:
-                chain = jnp.zeros((R,), bool)
-            else:
-                chain = cn[:, i_slot + 1] == cn[:, i_slot] + 1
-            ok = (chain & t_pos & (cn[:, i_slot] < N_r - 1))[:, None]
-            i_row = jnp.logaddexp(
-                i_new[:, i_slot],
-                jnp.where(ok, i_below + tl["i2"] + sc_i[:, i_slot], NEG_INF),
-            )
-            e_row = jnp.logaddexp(
-                e_new[:, i_slot],
-                jnp.where(ok, i_below + tl["i1"] + sc_i[:, i_slot], NEG_INF),
-            )
-            i_full_rows[i_slot] = i_row
-            e_rows[i_slot] = e_row
-            i_below = i_row
-        i_new = jnp.stack(i_full_rows, axis=1)
-        e_new = jnp.stack(e_rows, axis=1)
+        chain_up = jnp.concatenate(
+            [cn[:, 1:] == cn[:, :-1] + 1, jnp.zeros((R, 1), bool)], axis=1
+        )
+        ok_i = (
+            chain_up & t_pos[None] & (cn < (N_r - 1)[:, None])
+        )[:, :, None]
+        iB = jnp.where(ok_i, tl["i2"] + sc_i, NEG_INF)
+        rev = lambda x: jnp.flip(x, axis=1)
+        i_full, _ = jax.lax.associative_scan(
+            _aff_log, (rev(i_new), rev(iB)), axis=1
+        )
+        i_full = rev(i_full)
+        # e uses the UPDATED i of the slot above: shift i_full down by one
+        i_below = jnp.concatenate(
+            [i_full[:, 1:], jnp.full((R, 1, CK), NEG_INF, dtype)], axis=1
+        )
+        e_new = jnp.logaddexp(
+            e_new, jnp.where(ok_i, i_below + tl["i1"] + sc_i, NEG_INF)
+        )
+        i_new = i_full
 
         computed = jnp.stack([a_new, p_new, s_new, e_new, i_new], axis=1)
         computed = jnp.where(allowed[:, None], computed, NEG_INF)
@@ -788,16 +802,12 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
 def _first_match(cands, dtype):
     """max + first-index-achieving-max over an ordered candidate list —
     the walk's check order becomes the stored choice (ref equality-check
-    order in NTC.cpp:691-904)."""
-    m = cands[0]
-    for c in cands[1:]:
-        m = jnp.maximum(m, c)
-    code = jnp.full(m.shape, len(cands) - 1, jnp.int32)
-    done = jnp.zeros(m.shape, bool)
-    for ci, c in enumerate(cands):
-        hit = (~done) & (c == m)
-        code = jnp.where(hit, ci, code)
-        done = done | hit
+    order in NTC.cpp:691-904). `cands` is a list of arrays or one stacked
+    array with the candidate axis LAST."""
+    c = jnp.stack(cands, axis=-1) if isinstance(cands, (list, tuple)) else cands
+    m = jnp.max(c, axis=-1)
+    # argmax returns the FIRST index attaining the max — the check order
+    code = jnp.argmax(c == m[..., None], axis=-1).astype(jnp.int32)
     return m, code
 
 
@@ -832,7 +842,7 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
         row_same = fxs[10].reshape(R, CN)
         row_prev = fxs[11].reshape(R, CN)
         col_same = fxs[12].reshape(R, CK)
-        col_prec = fxs[13].reshape(R, CK, A)
+        col_prec = fxs[13].reshape(R, CK * A)  # flat: one batched gather
 
         fwd_t = _fwd_column(fwd_prev, fxs, trans_log, dims, kmer_size, dtype)
         fwd_t = jnp.where(t == 0, init, fwd_t)
@@ -842,15 +852,14 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
         ge_same = _gr(ap_prev, row_same)
         ge_prev = _gr(ap_prev, row_prev)
 
-        # A: for pre in prec order: E then I (ref walk order)
-        a_cands, p_cands = [], []
-        for ai in range(A):
-            gp = _gc(ge_prev, col_prec[:, :, ai])
-            gs = _gc(ge_same, col_prec[:, :, ai])
-            a_cands += [gp[:, E_ST], gp[:, I_ST]]
-            p_cands += [gs[:, E_ST], gs[:, S_ST], gs[:, I_ST]]
-        a_max, ch_a = _first_match(a_cands, dtype)
-        p_max, ch_p = _first_match(p_cands, dtype)
+        # A: for pre in prec order: E then I (ref walk order); candidate
+        # axes stacked LAST so one argmax encodes the first-match choice
+        gp = _gc(ge_prev, col_prec).reshape(R, 5, CN, CK, A)
+        gs = _gc(ge_same, col_prec).reshape(R, 5, CN, CK, A)
+        a_stack = jnp.stack([gp[:, E_ST], gp[:, I_ST]], axis=-1)
+        a_max, ch_a = _first_match(a_stack.reshape(R, CN, CK, 2 * A), dtype)
+        p_stack = jnp.stack([gs[:, E_ST], gs[:, S_ST], gs[:, I_ST]], axis=-1)
+        p_max, ch_p = _first_match(p_stack.reshape(R, CN, CK, 3 * A), dtype)
         gpk = _gc(ge_prev, col_same)
         s_max, ch_s = _first_match(
             [gpk[:, E_ST], gpk[:, P_ST], gpk[:, I_ST]], dtype
@@ -867,28 +876,23 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
         s_new = jnp.where(ok, s_max + lp[:, S_ST], NEG_INF)
         e_new = jnp.where(ok, e_max + lp[:, E_ST], NEG_INF)
 
-        i_rows, chi_rows = [], []
-        i_prev_row = jnp.full((R, CK), NEG_INF, dtype)
-        for i_slot in range(CN):
-            if i_slot == 0:
-                chain = jnp.zeros((R,), bool)
-                e_above = jnp.full((R, CK), NEG_INF, dtype)
-            else:
-                chain = cn[:, i_slot - 1] == cn[:, i_slot] - 1
-                e_above = e_new[:, i_slot - 1]
-            m2 = jnp.maximum(e_above, i_prev_row)
-            # E overrides I on ties (ref: NTC.cpp:884-893 two plain ifs)
-            chi = jnp.where(e_above == m2, 0, 1).astype(jnp.int32)
-            term = m2 + lp[:, I_ST, i_slot]
-            i_row = jnp.where(
-                chain[:, None] & allowed[:, i_slot] & (cn[:, i_slot] >= 1)[:, None],
-                term, NEG_INF,
-            )
-            i_rows.append(i_row)
-            chi_rows.append(chi)
-            i_prev_row = i_row
-        i_new = jnp.stack(i_rows, axis=1)
-        ch_i = jnp.stack(chi_rows, axis=1)
+        # Viterbi I chain as a max-plus associative scan over n-slots
+        e_above = jnp.concatenate(
+            [jnp.full((R, 1, CK), NEG_INF, dtype), e_new[:, :-1]], axis=1
+        )
+        chain = jnp.concatenate(
+            [jnp.zeros((R, 1), bool), cn[:, :-1] == cn[:, 1:] - 1], axis=1
+        )
+        cond = chain[:, :, None] & ok
+        lpI = lp[:, I_ST]
+        iA = jnp.where(cond, e_above + lpI, NEG_INF)
+        iB = jnp.where(cond, lpI, NEG_INF)
+        i_new, _ = jax.lax.associative_scan(_aff_max, (iA, iB), axis=1)
+        i_prev = jnp.concatenate(
+            [jnp.full((R, 1, CK), NEG_INF, dtype), i_new[:, :-1]], axis=1
+        )
+        # E overrides I on ties (ref: NTC.cpp:884-893 two plain ifs)
+        ch_i = jnp.where(e_above >= i_prev, 0, 1).astype(jnp.int32)
 
         ap_out = jnp.stack([a_new, p_new, s_new, e_new, i_new], axis=1)
         ap_out = jnp.where(t == 0, ap_init, ap_out)
