@@ -391,20 +391,23 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     d01 = (kN % alphabet_size).astype(jnp.int8)
     d02 = (kN2 % alphabet_size).astype(jnp.int8)
 
-    # (T, CK, A) quantities are built and kept FLAT as (T, CK*A): a trailing
-    # A=4 minor dim tile-pads 4 -> 128 lanes (32x HBM expansion — a single
-    # (R, T, CK, A) gather intermediate is 9 GB at R=16), while (T, CK*A)
-    # pads benignly. Scan bodies reshape per-step rows back (KBs).
+    # (T, CK, A) quantities are built and kept FLAT as (T, A*CK) in
+    # A-MAJOR order (index ai*CK + ck): a trailing A=4 minor dim tile-pads
+    # 4 -> 128 lanes (32x HBM expansion — a single (R, T, CK, A) gather
+    # intermediate is 9 GB at R=16), and even transient trailing-A shapes
+    # inside the scan bodies force a tile relayout every step. A-major
+    # lets the bodies slice per-alphabet (R, CK) pieces with static lane
+    # slices.
     arange_a = jnp.arange(alphabet_size, dtype=ks.dtype)
     suc_base = (ks_safe % step) * alphabet_size
-    suc_flat = (suc_base[:, :, None] + arange_a[None, None, :]).reshape(T, -1)
+    suc_flat = (suc_base[:, None, :] + arange_a[None, :, None]).reshape(T, -1)
 
     prev_n = jnp.concatenate([jnp.full((1, CN), N_max, cand_n.dtype), cand_n[:-1]], 0)
     next_n = jnp.concatenate([cand_n[1:], jnp.full((1, CN), N_max, cand_n.dtype)], 0)
 
     prec_base = ks_safe // alphabet_size
     prec_flat = (
-        prec_base[:, :, None] + (arange_a * step)[None, None, :]
+        prec_base[:, None, :] + (arange_a * step)[None, :, None]
     ).reshape(T, -1)
 
     def slot2(values, table):
@@ -539,18 +542,20 @@ def _fwd_column(prev, xs_t, tl, dims: PlanDims, kmer_size, dtype):
     ge_same = _gr(prev, row_same)
     ge_prev = _gr(prev, row_prev)
 
-    # alphabet-batched predecessor gathers: (R, 5, CN, CK*A) in one op
-    gp = _gc(ge_prev, col_prec).reshape(R, 5, CN, CK, A)
-    gs = _gc(ge_same, col_prec).reshape(R, 5, CN, CK, A)
-    a_terms = jnp.stack(
-        [gp[:, E_ST] + tl["a1"], gp[:, I_ST] + tl["a2"]], axis=-1
-    )
-    a_acc = logsumexp(a_terms.reshape(R, CN, CK, 2 * A), axis=-1)
-    p_terms = jnp.stack(
-        [gs[:, S_ST] + tl["p1"], gs[:, E_ST] + tl["p2"],
-         gs[:, I_ST] + tl["p3"]], axis=-1,
-    )
-    p_acc = logsumexp(p_terms.reshape(R, CN, CK, 3 * A), axis=-1)
+    # alphabet-batched predecessor gathers: (R, 5, CN, A*CK) in one op;
+    # candidate terms stack on axis 0 (leading axes never tile-pad)
+    gp = _gc(ge_prev, col_prec)
+    gs = _gc(ge_same, col_prec)
+    sl = lambda g, st, ai: g[:, st, :, ai * CK:(ai + 1) * CK]
+    a_terms = [t for ai in range(A)
+               for t in (sl(gp, E_ST, ai) + tl["a1"],
+                         sl(gp, I_ST, ai) + tl["a2"])]
+    a_acc = logsumexp(jnp.stack(a_terms, axis=0), axis=0)
+    p_terms = [t for ai in range(A)
+               for t in (sl(gs, S_ST, ai) + tl["p1"],
+                         sl(gs, E_ST, ai) + tl["p2"],
+                         sl(gs, I_ST, ai) + tl["p3"])]
+    p_acc = logsumexp(jnp.stack(p_terms, axis=0), axis=0)
     a_new = a_acc + sc
     p_new = p_acc + sc
 
@@ -559,9 +564,9 @@ def _fwd_column(prev, xs_t, tl, dims: PlanDims, kmer_size, dtype):
         logsumexp(
             jnp.stack(
                 [gpk[:, P_ST] + tl["s1"], gpk[:, E_ST] + tl["s2"],
-                 gpk[:, I_ST] + tl["s3"]], axis=-1,
+                 gpk[:, I_ST] + tl["s3"]], axis=0,
             ),
-            axis=-1,
+            axis=0,
         )
         + sc
     )
@@ -570,9 +575,9 @@ def _fwd_column(prev, xs_t, tl, dims: PlanDims, kmer_size, dtype):
         logsumexp(
             jnp.stack(
                 [gsk[:, A_ST], gsk[:, P_ST] + tl["e2"],
-                 gsk[:, S_ST] + tl["e3"], gsk[:, E_ST] + tl["e4"]], axis=-1,
+                 gsk[:, S_ST] + tl["e3"], gsk[:, E_ST] + tl["e4"]], axis=0,
             ),
-            axis=-1,
+            axis=0,
         )
         + sc
     )
@@ -700,45 +705,44 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
             jnp.where(n_pos, gsk[:, E_ST] + tl["e2"] + sc1, NEG_INF),
             jnp.where(n_lt, gnk[:, S_ST] + tl["s1"] + sc2, NEG_INF),
         )
-        # alphabet-batched successor terms (the ai-unrolled loop costs ~4x
-        # the HLO ops; scan bodies here are latency-bound on op count)
+        # alphabet-batched successor terms (the ai-unrolled gathers cost
+        # ~4x the HLO ops); A-major flat layouts keep every transient
+        # free of trailing small axes (tile-relayout trap), and candidate
+        # terms stack on axis 0
         d_s = sig_t[:, None] - mu_suc
-        scs = (c1_suc - c2_suc * d_s * d_s).reshape(R, 1, CK, A)
-        # HD vs the a-successor of k_j decomposes into the shifted table +
-        # a first-digit mismatch (see NTCPlan.hd1s)
-        mism1 = (d01[:, :, None] != jnp.arange(A)[None, None, :]).astype(dtype)
-        mism2 = (d02[:, :, None] != jnp.arange(A)[None, None, :]).astype(dtype)
-        hds1 = -2.0 * (hd1s[:, :, :, None] + mism1[:, :, None, :])
-        hds2 = -2.0 * (hd2s[:, :, :, None] + mism2[:, :, None, :])
-        sc1s = scn[:, :, None, None] + scs + hds1  # (R, CN, CK, A)
-        sc2s = scn2[:, :, None, None] + scs + hds2
-        gsp = _gc(gn_same, bcol_suc).reshape(R, 5, CN, CK, A)
-        gna = _gc(gn_next, bcol_suc).reshape(R, 5, CN, CK, A)
-        gspP = jnp.where(n_pos[..., None], gsp[:, P_ST] + sc1s, NEG_INF)
-        gnaA = jnp.where(n_lt[..., None], gna[:, A_ST] + sc2s, NEG_INF)
+        scs = c1_suc - c2_suc * d_s * d_s          # (R, A*CK) A-major
+        gsp = _gc(gn_same, bcol_suc)               # (R, 5, CN, A*CK)
+        gna = _gc(gn_next, bcol_suc)
         base_s = jnp.where(n_pos, gsk[:, E_ST] + tl["e3"] + sc1, NEG_INF)
         base_e = jnp.where(n_pos, gsk[:, E_ST] + tl["e4"] + sc1, NEG_INF)
         gnkS = gnk[:, S_ST] + sc2
-        s_new = logsumexp(
-            jnp.concatenate([base_s[..., None], gspP + tl["p1"]], axis=-1),
-            axis=-1,
-        )
-        e_new = logsumexp(
-            jnp.concatenate(
-                [base_e[..., None], gspP + tl["p2"], gnaA + tl["a1"],
-                 jnp.where(n_lt, gnkS + tl["s2"], NEG_INF)[..., None]],
-                axis=-1,
-            ),
-            axis=-1,
-        )
-        i_new = logsumexp(
-            jnp.concatenate(
-                [gspP + tl["p3"], gnaA + tl["a2"],
-                 jnp.where(n_lt, gnkS + tl["s3"], NEG_INF)[..., None]],
-                axis=-1,
-            ),
-            axis=-1,
-        )
+        s_terms = [base_s]
+        e_terms = [base_e]
+        i_terms = []
+        for ai in range(A):
+            scs_ai = scs[:, None, ai * CK:(ai + 1) * CK]
+            # HD vs the a-successor of k_j decomposes into the shifted
+            # table + a first-digit mismatch (see NTCPlan.hd1s)
+            m1 = (d01 != ai).astype(dtype)[:, :, None]
+            m2 = (d02 != ai).astype(dtype)[:, :, None]
+            sc1s = scn[:, :, None] + scs_ai - 2.0 * (hd1s + m1)
+            sc2s = scn2[:, :, None] + scs_ai - 2.0 * (hd2s + m2)
+            gspP = jnp.where(
+                n_pos, gsp[:, P_ST, :, ai * CK:(ai + 1) * CK] + sc1s, NEG_INF
+            )
+            gnaA = jnp.where(
+                n_lt, gna[:, A_ST, :, ai * CK:(ai + 1) * CK] + sc2s, NEG_INF
+            )
+            s_terms.append(gspP + tl["p1"])
+            e_terms.append(gspP + tl["p2"])
+            e_terms.append(gnaA + tl["a1"])
+            i_terms.append(gspP + tl["p3"])
+            i_terms.append(gnaA + tl["a2"])
+        e_terms.append(jnp.where(n_lt, gnkS + tl["s2"], NEG_INF))
+        i_terms.append(jnp.where(n_lt, gnkS + tl["s3"], NEG_INF))
+        s_new = logsumexp(jnp.stack(s_terms, axis=0), axis=0)
+        e_new = logsumexp(jnp.stack(e_terms, axis=0), axis=0)
+        i_new = logsumexp(jnp.stack(i_terms, axis=0), axis=0)
 
         # same-t I chain (ref: NTC.cpp:565-572): sig[t-1] and kmerSeq[n],
         # run as a log-affine associative scan from high to low slot
@@ -802,12 +806,12 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
 def _first_match(cands, dtype):
     """max + first-index-achieving-max over an ordered candidate list —
     the walk's check order becomes the stored choice (ref equality-check
-    order in NTC.cpp:691-904). `cands` is a list of arrays or one stacked
-    array with the candidate axis LAST."""
-    c = jnp.stack(cands, axis=-1) if isinstance(cands, (list, tuple)) else cands
-    m = jnp.max(c, axis=-1)
+    order in NTC.cpp:691-904). Candidates stack on axis 0: leading axes
+    never tile-pad, so the stacked compare/argmax stays relayout-free."""
+    c = jnp.stack(cands, axis=0)
+    m = jnp.max(c, axis=0)
     # argmax returns the FIRST index attaining the max — the check order
-    code = jnp.argmax(c == m[..., None], axis=-1).astype(jnp.int32)
+    code = jnp.argmax(c == m[None], axis=0).astype(jnp.int32)
     return m, code
 
 
@@ -852,14 +856,18 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
         ge_same = _gr(ap_prev, row_same)
         ge_prev = _gr(ap_prev, row_prev)
 
-        # A: for pre in prec order: E then I (ref walk order); candidate
-        # axes stacked LAST so one argmax encodes the first-match choice
-        gp = _gc(ge_prev, col_prec).reshape(R, 5, CN, CK, A)
-        gs = _gc(ge_same, col_prec).reshape(R, 5, CN, CK, A)
-        a_stack = jnp.stack([gp[:, E_ST], gp[:, I_ST]], axis=-1)
-        a_max, ch_a = _first_match(a_stack.reshape(R, CN, CK, 2 * A), dtype)
-        p_stack = jnp.stack([gs[:, E_ST], gs[:, S_ST], gs[:, I_ST]], axis=-1)
-        p_max, ch_p = _first_match(p_stack.reshape(R, CN, CK, 3 * A), dtype)
+        # A: for pre in prec order: E then I (ref walk order); candidates
+        # stack on axis 0 and one argmax encodes the first-match choice
+        gp = _gc(ge_prev, col_prec)
+        gs = _gc(ge_same, col_prec)
+        sl = lambda g, st, ai: g[:, st, :, ai * CK:(ai + 1) * CK]
+        a_cands = [t for ai in range(A)
+                   for t in (sl(gp, E_ST, ai), sl(gp, I_ST, ai))]
+        a_max, ch_a = _first_match(a_cands, dtype)
+        p_cands = [t for ai in range(A)
+                   for t in (sl(gs, E_ST, ai), sl(gs, S_ST, ai),
+                             sl(gs, I_ST, ai))]
+        p_max, ch_p = _first_match(p_cands, dtype)
         gpk = _gc(ge_prev, col_same)
         s_max, ch_s = _first_match(
             [gpk[:, E_ST], gpk[:, P_ST], gpk[:, I_ST]], dtype

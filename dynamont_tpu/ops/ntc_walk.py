@@ -139,8 +139,9 @@ def ntc_walk_batch(plan, dims, lp, choices, N_r, T_r, i0, j0, k0,
             rp = jnp.take_along_axis(rp_t, i[:, None], axis=1)[:, 0]
             cs = jnp.take_along_axis(cs_t, j[:, None], axis=1)[:, 0]
             ai = jnp.where(is_A, chA >> 1, chP // 3)
+            # col_prec is A-MAJOR flat (see ntc_batch._build_plan_one)
             cpa = jnp.take_along_axis(
-                cp_flat, (j * A + ai)[:, None], axis=1
+                cp_flat, (ai * CK + j)[:, None], axis=1
             )[:, 0]
             stE = jnp.where(
                 chE == 0, E_ST,

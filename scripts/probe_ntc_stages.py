@@ -1,9 +1,10 @@
 """TPU probe: per-stage timings of the batched NTC pipeline.
 
-Each stage runs in its own jit so stage boundaries are observable; the
-production engine fuses them into one program. Timing forces completion via
-np.asarray of a small slice (block_until_ready is unreliable on the axon
+Stage costs are measured as DIFFERENCES between jitted pipeline PREFIXES
+that each return only tiny reductions (mirrors the production fused
+program; standalone per-stage jits measure artifact costs on the axon
 backend).
+    python scripts/probe_ntc_stages.py [R] [T] [CN] [CK0]
 """
 
 import os
@@ -18,7 +19,6 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import functools
 import math
 
 import jax.numpy as jnp
@@ -48,15 +48,15 @@ def timed(name, fn, *args, n=3):
         out = fn(*args)
         force(out)
         ts.append(time.perf_counter() - t0)
-    print(f"{name:12s}: {min(ts)*1e3:8.1f} ms", flush=True)
-    return out
+    print(f"{name:14s}: {min(ts)*1e3:8.1f} ms", flush=True)
+    return min(ts)
 
 
 def main():
     R = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 16000
     CN = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    CK0 = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    CK0 = int(sys.argv[4]) if len(sys.argv) > 4 else 112
     n_bases = 1800
     dtype = jnp.float32
     model = load_model_for_pore("rna002")
@@ -93,33 +93,60 @@ def main():
     print(f"R={R} T_pad={T_pad} N2={N2} CN={CN} CK0={CK0} S_max={S_max}",
           flush=True)
 
-    jit = functools.partial(jax.jit, static_argnames=())
-    f_tn = jax.jit(lambda s, k: nb.pre_tn_batch(
-        s, k, N_r, T_r, mu_d, sd_d, lm, le, CN, dtype))
-    pn = timed("pre_tn", f_tn, sig_d, kid_d)
-    f_tk = jax.jit(lambda s: nb.pre_tk_batch(
-        s, T_r, mu_d, c1_d, c2_d, lm, le, 4, CK0, dtype))
-    pk = timed("pre_tk", f_tk, sig_d)
-    print("ovf_tn:", np.asarray(pn.overflow), "ovf_tk:", np.asarray(pk.overflow), flush=True)
+    def tree_sum(x):
+        return sum(
+            jnp.sum(jnp.where(jnp.isfinite(l.astype(jnp.float32)),
+                              l.astype(jnp.float32), 0.0))
+            for l in jax.tree_util.tree_leaves(x)
+        )
 
-    dims = nb.PlanDims(R, CN, CK0 + CN, 4)  # static; jit would trace ints
-    f_plan = jax.jit(lambda a, b, c, d: nb.build_plan_batch(
-        a, b, c, d, kid_d, N_r, mu_d, c1_d, c2_d, 4, S, dtype)[0])
-    plan = timed("build_plan", f_plan, pn.cand, pn.cnt, pk.cand, pk.cnt)
+    def prefix(stage: str):
+        @jax.jit
+        def f(sig, kid, Tr, Nr, mu, sd, c1a, c2a):
+            pn = nb.pre_tn_batch(sig, kid, Nr, Tr, mu, sd, lm, le, CN, dtype)
+            if stage == "pre_tn":
+                return tree_sum((pn.cand, pn.Zf))
+            pk_ = nb.pre_tk_batch(sig, Tr, mu, c1a, c2a, lm, le, 4, CK0, dtype)
+            if stage == "pre_tk":
+                return tree_sum((pn.cand, pk_.cand, pk_.Zf))
+            plan, dims = nb.build_plan_batch(
+                pn.cand, pn.cnt, pk_.cand, pk_.cnt, kid, Nr,
+                mu, c1a, c2a, 4, S, dtype,
+            )
+            if stage == "plan":
+                return tree_sum((plan.ks, plan.allowed, plan.col_prec))
+            sigd = sig.astype(dtype)
+            bwd = nb.ntc_backward_batch(plan, dims, sigd, ntk, Nr, Tr, S, dtype)
+            Zb3 = nb.ntc_zb_batch(plan, dims, bwd[0])
+            if stage == "bwd":
+                return tree_sum((bwd[0], Zb3))
+            lp, choices, apE_final, fwdE_final = nb.ntc_posterior_viterbi_batch(
+                plan, dims, sigd, bwd, Zb3, ntk, Nr, Tr, S, dtype
+            )
+            if stage == "viterbi":
+                return tree_sum((lp[0], choices[0], apE_final))
+            Zf3 = nb.ntc_zf_batch(plan, dims, fwdE_final, Nr, Tr)
+            i0, j0, k0, valid = nw.start_slots(plan, dims, apE_final, Nr, Tr)
+            seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = nw.ntc_walk_batch(
+                plan, dims, lp, choices, Nr, Tr, i0, j0, k0, valid, K, S, S_max
+            )
+            return tree_sum((seg_cnt, st_a, med, Zf3))
 
-    f_bwd = jax.jit(lambda p: nb.ntc_backward_batch(
-        p, dims, sig_d.astype(dtype), ntk, N_r, T_r, S, dtype))
-    bwd = timed("bwd", f_bwd, plan)
-    Zb = jax.jit(lambda p, b: nb.ntc_zb_batch(p, dims, b))(plan, bwd[0])
-    f_pv = jax.jit(lambda p, b, z: nb.ntc_posterior_viterbi_batch(
-        p, dims, sig_d.astype(dtype), b, z, ntk, N_r, T_r, S, dtype))
-    lp, choices, apE, _fE = timed("post_viterbi", f_pv, plan, bwd, Zb)
+        return f
 
-    f_walk = jax.jit(lambda p, l, c, a: nw.ntc_walk_batch(
-        p, dims, l, c, N_r, T_r,
-        *nw.start_slots(p, dims, a, N_r, T_r), K, S, S_max))
-    res = timed("walk", f_walk, plan, lp, choices, apE)
-    print("seg_cnt:", np.asarray(res[0]), flush=True)
+    args = (sig_d, kid_d, T_r, N_r, mu_d, sd_d, c1_d, c2_d)
+    stages = ["pre_tn", "pre_tk", "plan", "bwd", "viterbi", "walk"]
+    acc = {}
+    for stage in stages:
+        t0 = time.perf_counter()
+        acc[stage] = timed(f"<= {stage}", prefix(stage), *args)
+        print(f"   (compile+3 runs took {time.perf_counter()-t0:.1f}s)",
+              flush=True)
+    prev = 0.0
+    print("--- per-stage (differences) ---", flush=True)
+    for stage in stages:
+        print(f"{stage:14s}: {(acc[stage]-prev)*1e3:8.1f} ms", flush=True)
+        prev = acc[stage]
 
 
 if __name__ == "__main__":
