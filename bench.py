@@ -87,13 +87,13 @@ def bench_ntc(model, items, metrics):
     from dynamont_tpu.models.ntc_batch import NTCBatchEngine
 
     eng = NTCBatchEngine(
-        model, "rna002", dtype=jnp.float32, batch_size=8,
-        max_batch_samples=2**21, fallback=False,
+        model, "rna002", dtype=jnp.float32, batch_size=16,
+        max_batch_samples=2**22, fallback=False,
     )
     n = 16
-    warm = eng.run(items[:8])
+    warm = eng.run(items[:16])
     t0 = time.perf_counter()
-    outs = eng.run(items[8:8 + n])
+    outs = eng.run(items[16:16 + n])
     dt = time.perf_counter() - t0
     n_ok = sum(1 for o in outs if o.error is None)
     n_ovf = sum(

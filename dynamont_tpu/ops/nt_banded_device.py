@@ -152,6 +152,26 @@ def _unpack_shift_bits(bits, T_pad):
     return (b & 1).astype(jnp.int32).reshape(-1)[:T_pad]
 
 
+_CUMSUM_BLK = 512
+
+
+def _cumsum_1d(x):
+    """Inclusive cumsum of a (T,) 0/1 vector. jnp.cumsum lowers poorly on
+    this backend (~35 ms for (16, 16k)); a blocked lower-triangular matmul
+    runs on the MXU in ~1 ms. Counts are < 2^24, exact in fp32."""
+    T = x.shape[0]
+    blk = _CUMSUM_BLK
+    if T % blk:
+        return jnp.cumsum(x)
+    nb = T // blk
+    xb = x.reshape(nb, blk).astype(jnp.float32)
+    tri = jnp.tril(jnp.ones((blk, blk), jnp.float32))
+    within = xb @ tri.T                      # y[n, c] = sum_{b<=c} x[n, b]
+    totals = within[:, -1]
+    offs = jnp.cumsum(totals) - totals       # (nb,) — tiny
+    return (within + offs[:, None]).reshape(T).astype(x.dtype)
+
+
 def _decode_single(wire: WireBatch, means_t, c1_t, c2_t, dtype, hampel: bool):
     """Per-read device decode: wire fields -> (sig, mu_pad, c1_pad, c2_pad,
     bstart) in the layout the scan kernels expect."""
@@ -161,7 +181,7 @@ def _decode_single(wire: WireBatch, means_t, c1_t, c2_t, dtype, hampel: bool):
         if hampel:
             sig = hampel3_device(sig, T - 1)
         shift = _unpack_shift_bits(bits, wire.T_pad)
-        bstart = jnp.cumsum(shift) - bw
+        bstart = _cumsum_1d(shift) - bw
         pos_live = jnp.arange(wire.N_max - 1) < N - 1
         kid = jnp.where(pos_live, kid, 0)
         mu = jnp.where(pos_live, means_t[kid], 0.0)
@@ -261,10 +281,10 @@ def banded_batch_run_device(wire: WireBatch, means_t, c1_t, c2_t, log_m1,
     if use_pallas and jnp.dtype(dtype) == jnp.float32:
         from dynamont_tpu.ops import nt_banded_pallas as pk
 
-        res = pk.banded_batch_run_pallas(batch, log_m1, log_e2)
-        starts, medians = pk.walk_pallas(
-            res.PM, res.PE, res.choices, batch, wire.N_max
+        Zf, Zb, starts, medians = pk.banded_segment_pallas(
+            batch, wire.N_max, log_m1, log_e2
         )
+        return DeviceSegResult(Zf=Zf, Zb=Zb, starts=starts, medians=medians)
     else:
         res = bb.banded_batch_run(batch, log_m1, log_e2)
         walk = jax.vmap(_walk_single(wire.B, wire.N_max))

@@ -5,15 +5,29 @@ but as Mosaic kernels: per-step work runs inside an on-core fori_loop at
 <1us/row instead of ~10us/row for an XLA while-loop step, and compile time
 stays low because the loop body is compiled once.
 
-Layout: grid = (reads, T-chunks). The T axis is blocked; BlockSpec machinery
-streams (1, C, B) row-chunks HBM<->VMEM with automatic double buffering.
-The DP carry (M/E rows + the sliding emission-parameter window) lives in
-scratch, which persists across the sequential chunk axis of the grid and is
-re-initialized when a new read starts (standard accumulator pattern).
+Layout: a GROUP of G reads is processed together per band row — the row
+state is a (G, B) block (reads on sublanes, band on lanes), so every
+vector instruction runs at full sublane utilization instead of the 1/8
+a (1, B) row uses. The big tensors are kept T-major (Tc, Rp, B) on HBM:
+(Rp, B) minor dims tile perfectly and the kernels index rows with a
+dynamic LEADING index (the well-supported Mosaic case). The grid is
+(Rp/G, T-chunks); BlockSpec machinery streams (C, G, B) row-chunks
+HBM<->VMEM with automatic double buffering. The DP carry (M/E rows + the
+sliding emission-parameter window) lives in scratch, which persists across
+the sequential chunk axis and is re-initialized when a new read group
+starts (standard accumulator pattern).
+
+Per-row scalar streams (signal, shift flag, entering window values, band
+start) are packed into one (Tc, Rp, 8) tensor so a single dynamic-index
+load yields all of them as (G, lane) slices; per-read scalars (bw, N, T,
+Zb) are packed into a (Rp, 8) block.
 
 The recurrences are identical to the scan kernels (ref: src/cpp/
-NT_banded.cpp:23-123,139-189); entering band-window elements and shift flags
-are precomputed outside (one bulk gather), exactly as in the scan path.
+NT_banded.cpp:23-123,139-189); entering band-window elements and shift
+flags are precomputed outside (one bulk gather), exactly as in the scan
+path. Public wrappers keep the (R, T_pad, B) read-major interface for the
+tests; the fused production entry `banded_segment_pallas` stays T-major
+end-to-end (no transposes materialize on device).
 """
 
 from __future__ import annotations
@@ -30,71 +44,106 @@ from jax.experimental.pallas import tpu as pltpu
 from dynamont_tpu.ops import nt_banded_batch as bb
 
 NEG_INF = float(np.float32(-np.inf))
-CHUNK = 512
+G_BLOCK = 8       # reads per group (sublane dimension of the row state)
+CHUNK = 128       # fwd/bwd rows per grid step
+CHUNK_VIT = 32    # viterbi streams 4 in + 3 out (C, G, B) mats: keep small
+CHUNK_WALK = 64
 
 
-def _iota_b(B):
-    return jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
-def _valid(j_iota, bs, bw, N, lower_one: bool):
-    ns = jnp.maximum(bs, 1 if lower_one else 0)
-    ne = jnp.minimum(bs + 2 * bw + 1, N)
-    return (j_iota >= ns - bs + 1) & (j_iota < ne - bs + 1)
+def _iota_f(shape, dim):
+    # Mosaic's tpu.iota is integer-only; convert after
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+
+def _validf(jf, bs, bw, N, lower_one: bool):
+    """Valid band-cell mask; (1, B) fp32 iota vs (G, 1) scalars -> (G, B).
+    All quantities are small integers, exact in fp32."""
+    ns = jnp.maximum(bs, 1.0 if lower_one else 0.0)
+    ne = jnp.minimum(bs + 2.0 * bw + 1.0, N)
+    return (jf >= ns - bs + 1.0) & (jf < ne - bs + 1.0)
 
 
 def _shift_left(row, fill):
-    out = pltpu.roll(row, row.shape[1] - 1, axis=1)  # roll by -1 (non-negative form)
-    j = _iota_b(row.shape[1])
+    out = pltpu.roll(row, row.shape[1] - 1, axis=1)  # roll by -1
+    j = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
     return jnp.where(j == row.shape[1] - 1, fill, out)
 
 
 def _shift_right(row, fill):
     out = pltpu.roll(row, 1, axis=1)
-    j = _iota_b(row.shape[1])
+    j = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
     return jnp.where(j == 0, fill, out)
+
+
+def _pad_reads(a, Rp: int):
+    """Edge-pad the read axis to Rp (replicated reads compute finite
+    results that are simply discarded on slice-back)."""
+    R = a.shape[0]
+    if R == Rp:
+        return a
+    return jnp.concatenate(
+        [a, jnp.repeat(a[-1:], Rp - R, axis=0)], axis=0
+    )
+
+
+def _pack_rows(*streams):
+    """(Rp, Tc) fp32 streams -> (Tc, Rp, len) row-packed tensor."""
+    return jnp.stack([s.astype(jnp.float32) for s in streams], axis=-1
+                     ).transpose(1, 0, 2)
+
+
+def _pack_scal(*cols):
+    return jnp.stack([jnp.asarray(c, jnp.float32) for c in cols], axis=-1)
 
 
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(bw_ref, n_ref, sig_ref, s1_ref, emu_ref, ec1_ref, ec2_ref,
-                bs_ref, w0mu_ref, w0c1_ref, w0c2_ref, M_out, E_out,
-                cM, cE, wmu, wc1, wc2, *, B, C, log_m1, log_e2):
-    r = pl.program_id(0)
+def _fwd_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
+                M_out, E_out, cM, cE, wmu, wc1, wc2, *, B, C, G,
+                log_m1, log_e2):
     c = pl.program_id(1)
-    bw = bw_ref[r]
-    N = n_ref[r]
-    j_iota = _iota_b(B)
+    bw = scal_ref[:, 0:1]
+    N = scal_ref[:, 1:2]
+    jf = _iota_f((1, B), 1)
 
     @pl.when(c == 0)
     def _():
-        init = jnp.full((1, B), NEG_INF, jnp.float32)
-        cM[...] = init
-        cE[...] = jnp.where(j_iota == bw + 1, 0.0, NEG_INF)
-        wmu[...] = w0mu_ref[0]
-        wc1[...] = w0c1_ref[0]
-        wc2[...] = w0c2_ref[0]
+        cM[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+        cE[...] = jnp.where(jf == bw + 1.0, 0.0, NEG_INF)
+        wmu[...] = w0mu_ref[...]
+        wc1[...] = w0c1_ref[...]
+        wc2[...] = w0c2_ref[...]
 
     def body(i, _):
         t = c * C + i
 
         @pl.when(t == 0)
         def _():
-            M_out[0, i, :] = cM[0, :]
-            E_out[0, i, :] = cE[0, :]
+            M_out[i] = cM[...]
+            E_out[i] = cE[...]
 
         @pl.when(t > 0)
         def _():
-            s1 = s1_ref[0, i, 0] == 1
-            w_mu = jnp.where(s1, _shift_left(wmu[...], emu_ref[0, i, 0]), wmu[...])
-            w_c1 = jnp.where(s1, _shift_left(wc1[...], ec1_ref[0, i, 0]), wc1[...])
-            w_c2 = jnp.where(s1, _shift_left(wc2[...], ec2_ref[0, i, 0]), wc2[...])
+            row = rows_ref[i]                      # (G, 8)
+            sig = row[:, 0:1]
+            s1 = row[:, 1:2] == 1.0
+            emu = row[:, 2:3]
+            ec1 = row[:, 3:4]
+            ec2 = row[:, 4:5]
+            bs = row[:, 5:6]
+            w_mu = jnp.where(s1, _shift_left(wmu[...], emu), wmu[...])
+            w_c1 = jnp.where(s1, _shift_left(wc1[...], ec1), wc1[...])
+            w_c2 = jnp.where(s1, _shift_left(wc2[...], ec2), wc2[...])
             wmu[...] = w_mu
             wc1[...] = w_c1
             wc2[...] = w_c2
-            d = sig_ref[0, i, 0] - w_mu
+            d = sig - w_mu
             sc_b = w_c1 - w_c2 * d * d
             M_prev = cM[...]
             E_prev = cE[...]
@@ -103,252 +152,274 @@ def _fwd_kernel(bw_ref, n_ref, sig_ref, s1_ref, emu_ref, ec1_ref, ec2_ref,
             E_e = jnp.where(s1, _shift_left(E_prev, NEG_INF), E_prev)
             M_new = E_m + sc_b + log_m1
             E_new = jnp.logaddexp(M_e + sc_b, E_e + sc_b + log_e2)
-            bs = bs_ref[0, i, 0]
-            valid = _valid(j_iota, bs, bw, N, lower_one=True)
+            valid = _validf(jf, bs, bw, N, lower_one=True)
             M_new = jnp.where(valid, M_new, NEG_INF)
             E_new = jnp.where(valid, E_new, NEG_INF)
             cM[...] = M_new
             cE[...] = E_new
-            M_out[0, i, :] = M_new[0, :]
-            E_out[0, i, :] = E_new[0, :]
+            M_out[i] = M_new
+            E_out[i] = E_new
 
         return 0
 
     jax.lax.fori_loop(0, C, body, 0)
 
 
-def forward_pallas(batch: bb.BandedBatch, log_m1: float, log_e2: float,
-                   interpret: bool = False):
+def _fwd_wire(batch: bb.BandedBatch, Rp: int, Tc: int):
+    """Packed row stream + window inits for the forward kernel."""
     R, Tm1 = batch.sig.shape
     T_pad = Tm1 + 1
     B = batch.B
+    sig = _pad_reads(batch.sig.astype(jnp.float32), Rp)
+    mu_pad = _pad_reads(batch.mu_pad.astype(jnp.float32), Rp)
+    c1_pad = _pad_reads(batch.c1_pad.astype(jnp.float32), Rp)
+    c2_pad = _pad_reads(batch.c2_pad.astype(jnp.float32), Rp)
+    bs_all = _pad_reads(batch.bstart.astype(jnp.int32), Rp)
+
+    # row t uses sig[t-1]: align by prepending one pad entry
+    sig_r = jnp.concatenate(
+        [jnp.zeros((Rp, 1), jnp.float32), sig,
+         jnp.zeros((Rp, Tc - T_pad), jnp.float32)], axis=1)
+    s1 = jnp.concatenate(
+        [jnp.zeros((Rp, 1), jnp.int32),
+         (bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32)], axis=1)
+    enter_idx = bs_all + (B - 2 + batch.pad - 1)
+    gather = lambda tbl: jnp.take_along_axis(tbl, enter_idx, axis=1)
+    e_mu, e_c1, e_c2 = gather(mu_pad), gather(c1_pad), gather(c2_pad)
+    w0 = lambda tbl: jax.vmap(
+        lambda arr, st: jax.lax.dynamic_slice(arr, (st,), (B,))
+    )(tbl, bs_all[:, 0] - 2 + batch.pad)
+    w0mu, w0c1, w0c2 = w0(mu_pad), w0(c1_pad), w0(c2_pad)
+
+    pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
+    rows = _pack_rows(sig_r, pad_t(s1), pad_t(e_mu), pad_t(e_c1),
+                      pad_t(e_c2), pad_t(bs_all))
+    scal = _pack_scal(_pad_reads(batch.bw, Rp), _pad_reads(batch.N, Rp))
+    return rows, scal, w0mu, w0c1, w0c2
+
+
+def _forward_t(batch: bb.BandedBatch, log_m1: float, log_e2: float,
+               interpret: bool = False):
+    """T-major forward: returns (M, E) as (Tc, Rp, B)."""
+    R, Tm1 = batch.sig.shape
+    T_pad = Tm1 + 1
+    B = batch.B
+    G = G_BLOCK
+    Rp = _round_up(R, G)
     C = CHUNK
     nc = (T_pad + C - 1) // C
     Tc = nc * C
-
-    # row t uses sig[t-1]: align by prepending one pad entry
-    sig = jnp.concatenate(
-        [jnp.zeros((R, 1), jnp.float32), batch.sig.astype(jnp.float32),
-         jnp.zeros((R, Tc - T_pad), jnp.float32)], axis=1)
-    bs_all = batch.bstart.astype(jnp.int32)
-    s1 = jnp.concatenate(
-        [jnp.zeros((R, 1), jnp.int32),
-         (bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32)], axis=1)
-    enter_idx = bs_all + (B - 2 + batch.pad - 1)
-    gather = lambda tbl: jnp.take_along_axis(tbl.astype(jnp.float32), enter_idx, axis=1)
-    e_mu, e_c1, e_c2 = gather(batch.mu_pad), gather(batch.c1_pad), gather(batch.c2_pad)
-    w0 = lambda tbl: jax.vmap(
-        lambda arr, st: jax.lax.dynamic_slice(arr, (st,), (B,))
-    )(tbl.astype(jnp.float32), bs_all[:, 0] - 2 + batch.pad)
-    w0mu, w0c1, w0c2 = w0(batch.mu_pad), w0(batch.c1_pad), w0(batch.c2_pad)
-
-    pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
-    bs_p = pad_t(bs_all)
-    s1_p = pad_t(s1)
-    e_mu, e_c1, e_c2 = pad_t(e_mu), pad_t(e_c1), pad_t(e_c2)
-
-    row_spec = lambda: pl.BlockSpec((1, C, 1), lambda r, c, *_: (r, c, 0), memory_space=pltpu.VMEM)
-    winit_spec = lambda w: pl.BlockSpec((1, 1, w), lambda r, c, *_: (r, 0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, C, B), lambda r, c, *_: (r, c, 0), memory_space=pltpu.VMEM)
+    rows, scal, w0mu, w0c1, w0c2 = _fwd_wire(batch, Rp, Tc)
 
     kernel = functools.partial(
-        _fwd_kernel, B=B, C=C, log_m1=np.float32(log_m1), log_e2=np.float32(log_e2)
+        _fwd_kernel, B=B, C=C, G=G,
+        log_m1=np.float32(log_m1), log_e2=np.float32(log_e2),
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(R, nc),
-        in_specs=[row_spec(), row_spec(), row_spec(), row_spec(), row_spec(),
-                  row_spec(), winit_spec(B), winit_spec(B), winit_spec(B)],
-        out_specs=(out_spec, out_spec),
-        scratch_shapes=[pltpu.VMEM((1, B), jnp.float32) for _ in range(5)],
-    )
+    scal_spec = pl.BlockSpec((G, scal.shape[1]), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec((C, G, rows.shape[2]), lambda r, c: (c, r, 0),
+                             memory_space=pltpu.VMEM)
+    w0_spec = pl.BlockSpec((G, B), lambda r, c: (r, 0),
+                           memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((C, G, B), lambda r, c: (c, r, 0),
+                            memory_space=pltpu.VMEM)
     M, E = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(Rp // G, nc),
+        in_specs=[scal_spec, rows_spec, w0_spec, w0_spec, w0_spec],
+        out_specs=(mat_spec, mat_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((R, Tc, B), jnp.float32),
-            jax.ShapeDtypeStruct((R, Tc, B), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Rp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Rp, B), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((G, B), jnp.float32) for _ in range(5)],
         interpret=interpret,
-    )(
-        batch.bw.astype(jnp.int32), batch.N.astype(jnp.int32),
-        sig[:, :Tc, None], s1_p[..., None], e_mu[..., None], e_c1[..., None],
-        e_c2[..., None], bs_p[..., None],
-        w0mu[:, None, :], w0c1[:, None, :], w0c2[:, None, :],
-    )
-    return M[:, :T_pad], E[:, :T_pad]
+    )(scal, rows, w0mu, w0c1, w0c2)
+    return M, E
+
+
+def forward_pallas(batch: bb.BandedBatch, log_m1: float, log_e2: float,
+                   interpret: bool = False):
+    """(R, T_pad, B) read-major compatibility wrapper."""
+    R, Tm1 = batch.sig.shape
+    M, E = _forward_t(batch, log_m1, log_e2, interpret)
+    return (M.transpose(1, 0, 2)[:R, : Tm1 + 1],
+            E.transpose(1, 0, 2)[:R, : Tm1 + 1])
 
 
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(bw_ref, n_ref, t_ref, sig_ref, sb_ref, emu_ref, ec1_ref,
-                ec2_ref, bs_ref, w0mu_ref, w0c1_ref, w0c2_ref, M_out, E_out,
-                cM, cE, wmu, wc1, wc2, *, B, C, nc, log_m1, log_e2):
-    r = pl.program_id(0)
+def _bwd_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
+                M_out, E_out, cM, cE, wmu, wc1, wc2, *, B, C, G, nc,
+                log_m1, log_e2):
     c = pl.program_id(1)  # chunk counter; chunk c covers rows from the END
-    bw = bw_ref[r]
-    N = n_ref[r]
-    T = t_ref[r]
-    j_iota = _iota_b(B)
+    bw = scal_ref[:, 0:1]
+    N = scal_ref[:, 1:2]
+    T = scal_ref[:, 2:3]
+    jf = _iota_f((1, B), 1)
 
     @pl.when(c == 0)
     def _():
-        init = jnp.full((1, B), NEG_INF, jnp.float32)
-        cM[...] = init
-        cE[...] = init
-        wmu[...] = w0mu_ref[0]
-        wc1[...] = w0c1_ref[0]
-        wc2[...] = w0c2_ref[0]
+        cM[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+        cE[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+        wmu[...] = w0mu_ref[...]
+        wc1[...] = w0c1_ref[...]
+        wc2[...] = w0c2_ref[...]
 
     def body(k, _):
         i = C - 1 - k  # in-chunk row, descending
         t = (nc - 1 - c) * C + i
-
-        @pl.when(t < T - 1)
-        def _():
-            sb = sb_ref[0, i, 0] == 1  # shift between t and t+1
-            w_mu = jnp.where(sb, _shift_right(wmu[...], emu_ref[0, i, 0]), wmu[...])
-            w_c1 = jnp.where(sb, _shift_right(wc1[...], ec1_ref[0, i, 0]), wc1[...])
-            w_c2 = jnp.where(sb, _shift_right(wc2[...], ec2_ref[0, i, 0]), wc2[...])
-            wmu[...] = w_mu
-            wc1[...] = w_c1
-            wc2[...] = w_c2
-            sig_t = sig_ref[0, i, 0]
-            d_b = sig_t - w_mu
-            full_b = w_c1 - w_c2 * d_b * d_b  # window is (1, B+1): sc_b/sc_a
-            sc_b = full_b[:, :B]
-            sc_a = full_b[:, 1:]
-            bs = bs_ref[0, i, 0]
-            n = bs + j_iota - 1
-            M_next = cM[...]
-            E_next = cE[...]
-            E_n = jnp.where(sb, _shift_right(E_next, NEG_INF), E_next)
-            M_n = jnp.where(sb, M_next, _shift_left(M_next, NEG_INF))
-            ext = jnp.where(n + 1 < N, M_n + sc_a + log_m1, NEG_INF)
-            has_prev = n > 0
-            M_new = jnp.where(has_prev, E_n + sc_b, NEG_INF)
-            ext = jnp.where(
-                has_prev, jnp.logaddexp(ext, E_n + sc_b + log_e2), ext
-            )
-            valid = _valid(j_iota, bs, bw, N, lower_one=False)
-            M_new = jnp.where(valid, M_new, NEG_INF)
-            E_new = jnp.where(valid, ext, NEG_INF)
-            cM[...] = M_new
-            cE[...] = E_new
-            M_out[0, i, :] = M_new[0, :]
-            E_out[0, i, :] = E_new[0, :]
-
-        @pl.when(t == T - 1)
-        def _():
-            term = jnp.where(j_iota == bw + 1, 0.0, NEG_INF)
-            neg = jnp.full((1, B), NEG_INF, jnp.float32)
-            cM[...] = neg
-            cE[...] = term
-            M_out[0, i, :] = neg[0, :]
-            E_out[0, i, :] = term[0, :]
-
-        @pl.when(t > T - 1)
-        def _():
-            neg = jnp.full((1, B), NEG_INF, jnp.float32)
-            M_out[0, i, :] = neg[0, :]
-            E_out[0, i, :] = neg[0, :]
-
+        tf = jnp.float32(1.0) * t
+        row = rows_ref[i]
+        sig = row[:, 0:1]
+        sb = row[:, 1:2] == 1.0
+        emu = row[:, 2:3]
+        ec1 = row[:, 3:4]
+        ec2 = row[:, 4:5]
+        bs = row[:, 5:6]
+        live = tf < T - 1.0   # (G, 1); per-read T differs within a group
+        term = tf == T - 1.0
+        upd = sb & live
+        w_mu = jnp.where(upd, _shift_right(wmu[...], emu), wmu[...])
+        w_c1 = jnp.where(upd, _shift_right(wc1[...], ec1), wc1[...])
+        w_c2 = jnp.where(upd, _shift_right(wc2[...], ec2), wc2[...])
+        wmu[...] = w_mu
+        wc1[...] = w_c1
+        wc2[...] = w_c2
+        d_b = sig - w_mu
+        full_b = w_c1 - w_c2 * d_b * d_b  # window is (G, B+1): sc_b/sc_a
+        sc_b = full_b[:, :B]
+        sc_a = full_b[:, 1:]
+        n = bs + jf - 1.0
+        M_next = cM[...]
+        E_next = cE[...]
+        E_n = jnp.where(sb, _shift_right(E_next, NEG_INF), E_next)
+        M_n = jnp.where(sb, M_next, _shift_left(M_next, NEG_INF))
+        ext = jnp.where(n + 1.0 < N, M_n + sc_a + log_m1, NEG_INF)
+        has_prev = n > 0.0
+        M_cmp = jnp.where(has_prev, E_n + sc_b, NEG_INF)
+        ext = jnp.where(
+            has_prev, jnp.logaddexp(ext, E_n + sc_b + log_e2), ext
+        )
+        valid = _validf(jf, bs, bw, N, lower_one=False)
+        M_cmp = jnp.where(valid, M_cmp, NEG_INF)
+        E_cmp = jnp.where(valid, ext, NEG_INF)
+        termE = jnp.where(jf == bw + 1.0, 0.0, NEG_INF)
+        neg = jnp.full((G, B), NEG_INF, jnp.float32)
+        # dead rows (t > T-1) leave the carry untouched
+        cM[...] = jnp.where(live, M_cmp, jnp.where(term, neg, cM[...]))
+        cE[...] = jnp.where(live, E_cmp, jnp.where(term, termE, cE[...]))
+        M_out[i] = jnp.where(live, M_cmp, neg)
+        E_out[i] = jnp.where(live, E_cmp, jnp.where(term, termE, neg))
         return 0
 
     jax.lax.fori_loop(0, C, body, 0)
 
 
-def backward_pallas(batch: bb.BandedBatch, log_m1: float, log_e2: float,
-                    interpret: bool = False):
+def _bwd_wire(batch: bb.BandedBatch, Rp: int, Tc: int):
     R, Tm1 = batch.sig.shape
     T_pad = Tm1 + 1
     B = batch.B
+    sig = _pad_reads(batch.sig.astype(jnp.float32), Rp)
+    mu_pad = _pad_reads(batch.mu_pad.astype(jnp.float32), Rp)
+    c1_pad = _pad_reads(batch.c1_pad.astype(jnp.float32), Rp)
+    c2_pad = _pad_reads(batch.c2_pad.astype(jnp.float32), Rp)
+    bs_all = _pad_reads(batch.bstart.astype(jnp.int32), Rp)
+
+    # row t uses sig[t] (zero-based signal); pad tail
+    sig_r = jnp.concatenate(
+        [sig, jnp.zeros((Rp, Tc - T_pad + 1), jnp.float32)], axis=1)[:, :Tc]
+    sb = jnp.concatenate(
+        [(bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32),
+         jnp.zeros((Rp, 1), jnp.int32)], axis=1)  # shift between t and t+1
+    enter_idx = bs_all + (batch.pad - 2)
+    gather = lambda tbl: jnp.take_along_axis(tbl, enter_idx, axis=1)
+    e_mu, e_c1, e_c2 = gather(mu_pad), gather(c1_pad), gather(c2_pad)
+    w0 = lambda tbl: jax.vmap(
+        lambda arr, st: jax.lax.dynamic_slice(arr, (st,), (B + 1,))
+    )(tbl, bs_all[:, T_pad - 1] - 2 + batch.pad)
+    w0mu, w0c1, w0c2 = w0(mu_pad), w0(c1_pad), w0(c2_pad)
+
+    pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
+    rows = _pack_rows(sig_r, pad_t(sb), pad_t(e_mu), pad_t(e_c1),
+                      pad_t(e_c2), pad_t(bs_all))
+    scal = _pack_scal(_pad_reads(batch.bw, Rp), _pad_reads(batch.N, Rp),
+                      _pad_reads(batch.T, Rp))
+    return rows, scal, w0mu, w0c1, w0c2
+
+
+def _backward_t(batch: bb.BandedBatch, log_m1: float, log_e2: float,
+                interpret: bool = False):
+    R, Tm1 = batch.sig.shape
+    T_pad = Tm1 + 1
+    B = batch.B
+    G = G_BLOCK
+    Rp = _round_up(R, G)
     C = CHUNK
     nc = (T_pad + C - 1) // C
     Tc = nc * C
-
-    # row t uses sig[t] (zero-based signal); pad tail
-    sig = jnp.concatenate(
-        [batch.sig.astype(jnp.float32), jnp.zeros((R, Tc - T_pad + 1), jnp.float32)],
-        axis=1)[:, :Tc]
-    bs_all = batch.bstart.astype(jnp.int32)
-    sb = jnp.concatenate(
-        [(bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32),
-         jnp.zeros((R, 1), jnp.int32)], axis=1)  # shift between t and t+1
-    enter_idx = bs_all + (batch.pad - 2)
-    gather = lambda tbl: jnp.take_along_axis(tbl.astype(jnp.float32), enter_idx, axis=1)
-    e_mu, e_c1, e_c2 = gather(batch.mu_pad), gather(batch.c1_pad), gather(batch.c2_pad)
-    w0 = lambda tbl: jax.vmap(
-        lambda arr, st: jax.lax.dynamic_slice(arr, (st,), (B + 1,))
-    )(tbl.astype(jnp.float32), bs_all[:, T_pad - 1] - 2 + batch.pad)
-    w0mu, w0c1, w0c2 = w0(batch.mu_pad), w0(batch.c1_pad), w0(batch.c2_pad)
-
-    pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
-    bs_p = pad_t(bs_all)
-    sb_p = pad_t(sb)
-    e_mu, e_c1, e_c2 = pad_t(e_mu), pad_t(e_c1), pad_t(e_c2)
-
-    rev3 = lambda r, c, *_: (r, nc - 1 - c, 0)
-    row_spec = lambda: pl.BlockSpec((1, C, 1), rev3, memory_space=pltpu.VMEM)
-    winit_spec = lambda: pl.BlockSpec((1, 1, B + 1), lambda r, c, *_: (r, 0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, C, B), lambda r, c, *_: (r, nc - 1 - c, 0),
-                            memory_space=pltpu.VMEM)
+    rows, scal, w0mu, w0c1, w0c2 = _bwd_wire(batch, Rp, Tc)
 
     kernel = functools.partial(
-        _bwd_kernel, B=B, C=C, nc=nc,
+        _bwd_kernel, B=B, C=C, G=G, nc=nc,
         log_m1=np.float32(log_m1), log_e2=np.float32(log_e2),
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(R, nc),
-        in_specs=[row_spec(), row_spec(), row_spec(), row_spec(), row_spec(),
-                  row_spec(), winit_spec(), winit_spec(), winit_spec()],
-        out_specs=(out_spec, out_spec),
-        scratch_shapes=(
-            [pltpu.VMEM((1, B), jnp.float32) for _ in range(2)]
-            + [pltpu.VMEM((1, B + 1), jnp.float32) for _ in range(3)]
-        ),
-    )
+    rev3 = lambda r, c: (nc - 1 - c, r, 0)
+    scal_spec = pl.BlockSpec((G, scal.shape[1]), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec((C, G, rows.shape[2]), rev3,
+                             memory_space=pltpu.VMEM)
+    w0_spec = pl.BlockSpec((G, B + 1), lambda r, c: (r, 0),
+                           memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((C, G, B), rev3, memory_space=pltpu.VMEM)
     M, E = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(Rp // G, nc),
+        in_specs=[scal_spec, rows_spec, w0_spec, w0_spec, w0_spec],
+        out_specs=(mat_spec, mat_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((R, Tc, B), jnp.float32),
-            jax.ShapeDtypeStruct((R, Tc, B), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Rp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Rp, B), jnp.float32),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((G, B), jnp.float32) for _ in range(2)]
+            + [pltpu.VMEM((G, B + 1), jnp.float32) for _ in range(3)]
         ),
         interpret=interpret,
-    )(
-        batch.bw.astype(jnp.int32), batch.N.astype(jnp.int32),
-        batch.T.astype(jnp.int32),
-        sig[..., None], sb_p[..., None], e_mu[..., None], e_c1[..., None],
-        e_c2[..., None], bs_p[..., None],
-        w0mu[:, None, :], w0c1[:, None, :], w0c2[:, None, :],
-    )
-    return M[:, :T_pad], E[:, :T_pad]
+    )(scal, rows, w0mu, w0c1, w0c2)
+    return M, E
+
+
+def backward_pallas(batch: bb.BandedBatch, log_m1: float, log_e2: float,
+                    interpret: bool = False):
+    """(R, T_pad, B) read-major compatibility wrapper."""
+    R, Tm1 = batch.sig.shape
+    M, E = _backward_t(batch, log_m1, log_e2, interpret)
+    return (M.transpose(1, 0, 2)[:R, : Tm1 + 1],
+            E.transpose(1, 0, 2)[:R, : Tm1 + 1])
 
 
 # ---------------------------------------------------------------------------
 # viterbi
 # ---------------------------------------------------------------------------
 
-def _vit_kernel(bw_ref, n_ref, zb_ref, fm_ref, fe_ref, bm_ref, be_ref,
-                s1_ref, bs_ref, ch_out, pm_out, pe_out, cM, cE, *, B, C):
+def _vit_kernel(scal_ref, rows_ref, fm_ref, fe_ref, bm_ref, be_ref,
+                ch_out, pm_out, pe_out, cM, cE, *, B, C, G):
     """Fused posterior + Viterbi pass: computes LPM/LPE = for+back-Zb on the
     fly, emits the traceback choice bits and the clipped posterior
     probabilities PM/PE in one streaming read of the four DP tensors."""
-    r = pl.program_id(0)
     c = pl.program_id(1)
-    bw = bw_ref[r]
-    N = n_ref[r]
-    zb = zb_ref[r]
-    j_iota = _iota_b(B)
+    bw = scal_ref[:, 0:1]
+    N = scal_ref[:, 1:2]
+    zb = scal_ref[:, 2:3]
+    jf = _iota_f((1, B), 1)
 
     @pl.when(c == 0)
     def _():
-        cM[...] = jnp.full((1, B), NEG_INF, jnp.float32)
-        cE[...] = jnp.where(j_iota == bw + 1, 0.0, NEG_INF)
+        cM[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+        cE[...] = jnp.where(jf == bw + 1.0, 0.0, NEG_INF)
 
     def clip_prob(lp):
         p = jnp.exp(lp)
@@ -357,18 +428,20 @@ def _vit_kernel(bw_ref, n_ref, zb_ref, fm_ref, fe_ref, bm_ref, be_ref,
 
     def body(i, _):
         t = c * C + i
-        lpm = (fm_ref[0, i, :] + bm_ref[0, i, :] - zb)[None, :]
-        lpe = (fe_ref[0, i, :] + be_ref[0, i, :] - zb)[None, :]
-        pm_out[0, i, :] = clip_prob(lpm)[0, :]
-        pe_out[0, i, :] = clip_prob(lpe)[0, :]
+        lpm = fm_ref[i] + bm_ref[i] - zb
+        lpe = fe_ref[i] + be_ref[i] - zb
+        pm_out[i] = clip_prob(lpm)
+        pe_out[i] = clip_prob(lpe)
 
         @pl.when(t == 0)
         def _():
-            ch_out[0, i, :] = jnp.zeros((B,), jnp.int32)
+            ch_out[i] = jnp.zeros((G, B), jnp.int32)
 
         @pl.when(t > 0)
         def _():
-            s1 = s1_ref[0, i, 0] == 1
+            row = rows_ref[i]
+            s1 = row[:, 0:1] == 1.0
+            bs = row[:, 1:2]
             M_prev = cM[...]
             E_prev = cE[...]
             E_m = jnp.where(s1, E_prev, _shift_right(E_prev, NEG_INF))
@@ -376,65 +449,77 @@ def _vit_kernel(bw_ref, n_ref, zb_ref, fm_ref, fe_ref, bm_ref, be_ref,
             E_e = jnp.where(s1, _shift_left(E_prev, NEG_INF), E_prev)
             M_new = E_m + lpm
             E_new = jnp.maximum(M_e, E_e) + lpe
-            bs = bs_ref[0, i, 0]
-            valid = _valid(j_iota, bs, bw, N, lower_one=True)
+            valid = _validf(jf, bs, bw, N, lower_one=True)
             M_new = jnp.where(valid, M_new, NEG_INF)
             E_new = jnp.where(valid, E_new, NEG_INF)
             choice = (E_new == (M_e + lpe)).astype(jnp.int32)
             cM[...] = M_new
             cE[...] = E_new
-            ch_out[0, i, :] = choice[0, :]
+            ch_out[i] = choice
 
         return 0
 
     jax.lax.fori_loop(0, C, body, 0)
 
 
-def viterbi_post_pallas(forM, forE, backM, backE, Zb, batch: bb.BandedBatch,
-                        interpret: bool = False):
-    """choices + PM + PE from the raw DP tensors in one fused pass."""
-    R, T_pad, B = forM.shape
-    C = CHUNK
-    nc = (T_pad + C - 1) // C
-    Tc = nc * C
-    bs_all = batch.bstart.astype(jnp.int32)
+def _viterbi_t(fM, fE, bM, bE, Zb, batch: bb.BandedBatch,
+               interpret: bool = False):
+    """T-major viterbi: all mats (Tc, Rp, B); Zb (Rp,)."""
+    Tc, Rp, B = fM.shape
+    G = G_BLOCK
+    C = CHUNK_VIT
+    nc = Tc // C
+    T_pad = batch.sig.shape[1] + 1
+    bs_all = _pad_reads(batch.bstart.astype(jnp.int32), Rp)
     s1 = jnp.concatenate(
-        [jnp.zeros((R, 1), jnp.int32),
+        [jnp.zeros((Rp, 1), jnp.int32),
          (bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32)], axis=1)
-    pad_t3 = lambda a: jnp.pad(
-        a.astype(jnp.float32), ((0, 0), (0, Tc - T_pad), (0, 0)),
-        constant_values=NEG_INF,
-    )
     pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
+    rows = _pack_rows(pad_t(s1), pad_t(bs_all))
+    scal = _pack_scal(_pad_reads(batch.bw, Rp), _pad_reads(batch.N, Rp), Zb)
 
-    row_spec = lambda: pl.BlockSpec((1, C, 1), lambda r, c, *_: (r, c, 0), memory_space=pltpu.VMEM)
-    mat_spec = lambda: pl.BlockSpec((1, C, B), lambda r, c, *_: (r, c, 0), memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_vit_kernel, B=B, C=C)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(R, nc),
-        in_specs=[mat_spec(), mat_spec(), mat_spec(), mat_spec(), row_spec(),
-                  row_spec()],
-        out_specs=(mat_spec(), mat_spec(), mat_spec()),
-        scratch_shapes=[pltpu.VMEM((1, B), jnp.float32) for _ in range(2)],
-    )
+    kernel = functools.partial(_vit_kernel, B=B, C=C, G=G)
+    idx3 = lambda r, c: (c, r, 0)
+    scal_spec = pl.BlockSpec((G, scal.shape[1]), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec((C, G, rows.shape[2]), idx3,
+                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((C, G, B), idx3, memory_space=pltpu.VMEM)
     ch, PM, PE = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(Rp // G, nc),
+        in_specs=[scal_spec, rows_spec, mat_spec, mat_spec, mat_spec,
+                  mat_spec],
+        out_specs=(mat_spec, mat_spec, mat_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((R, Tc, B), jnp.int32),
-            jax.ShapeDtypeStruct((R, Tc, B), jnp.float32),
-            jax.ShapeDtypeStruct((R, Tc, B), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Rp, B), jnp.int32),
+            jax.ShapeDtypeStruct((Tc, Rp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Rp, B), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((G, B), jnp.float32) for _ in range(2)],
         interpret=interpret,
-    )(
-        batch.bw.astype(jnp.int32), batch.N.astype(jnp.int32),
-        Zb.astype(jnp.float32),
-        pad_t3(forM), pad_t3(forE), pad_t3(backM), pad_t3(backE),
-        pad_t(s1)[..., None], pad_t(bs_all)[..., None],
+    )(scal, rows, fM, fE, bM, bE)
+    return ch, PM, PE
+
+
+def viterbi_post_pallas(forM, forE, backM, backE, Zb, batch: bb.BandedBatch,
+                        interpret: bool = False):
+    """choices + PM + PE from read-major (R, T_pad, B) DP tensors."""
+    R, T_pad, B = forM.shape
+    G = G_BLOCK
+    Rp = _round_up(R, G)
+    C = CHUNK_VIT
+    Tc = _round_up(T_pad, C)
+    tomaj = lambda a: jnp.pad(
+        _pad_reads(a.astype(jnp.float32), Rp),
+        ((0, 0), (0, Tc - T_pad), (0, 0)), constant_values=NEG_INF,
+    ).transpose(1, 0, 2)
+    ch, PM, PE = _viterbi_t(
+        tomaj(forM), tomaj(forE), tomaj(backM), tomaj(backE),
+        _pad_reads(Zb.astype(jnp.float32), Rp), batch, interpret,
     )
-    return (ch[:, :T_pad].astype(bool), PM[:, :T_pad], PE[:, :T_pad])
+    back = lambda a: a.transpose(1, 0, 2)[:R, :T_pad]
+    return back(ch).astype(bool), back(PM), back(PE)
 
 
 # ---------------------------------------------------------------------------
@@ -445,120 +530,132 @@ def banded_batch_run_pallas(batch: bb.BandedBatch, log_m1, log_e2,
                             interpret: bool = False) -> bb.BandedBatchResult:
     """Drop-in fp32 replacement for bb.banded_batch_run using the Mosaic
     kernels for the three wavefront passes (posterior computation fused
-    into the Viterbi pass)."""
-    forM, forE = forward_pallas(batch, log_m1, log_e2, interpret)
-    backM, backE = backward_pallas(batch, log_m1, log_e2, interpret)
-    R = batch.sig.shape[0]
-    r_iota = jnp.arange(R)
-    Zf = forE[r_iota, batch.T - 1, batch.bw + 1]
-    Zb = backE[r_iota, 0, batch.bw + 1]
-    choices, PM, PE = viterbi_post_pallas(
-        forM, forE, backM, backE, Zb, batch, interpret
+    into the Viterbi pass). Read-major result for API compatibility; the
+    fused production path is banded_segment_pallas."""
+    R, Tm1 = batch.sig.shape
+    T_pad = Tm1 + 1
+    fM, fE = _forward_t(batch, log_m1, log_e2, interpret)
+    bM, bE = _backward_t(batch, log_m1, log_e2, interpret)
+    Rp = fM.shape[1]
+    rp_iota = jnp.arange(Rp)
+    T_p = _pad_reads(batch.T.astype(jnp.int32), Rp)
+    bw_p = _pad_reads(batch.bw.astype(jnp.int32), Rp)
+    Zf = fE[T_p - 1, rp_iota, bw_p + 1]
+    Zb = bE[0, rp_iota, bw_p + 1]
+    ch, PM, PE = _viterbi_t(fM, fE, bM, bE, Zb, batch, interpret)
+    back = lambda a: a.transpose(1, 0, 2)[:R, :T_pad]
+    return bb.BandedBatchResult(
+        Zf=Zf[:R], Zb=Zb[:R], PM=back(PM), PE=back(PE),
+        choices=back(ch).astype(bool),
     )
-    return bb.BandedBatchResult(Zf=Zf, Zb=Zb, PM=PM, PE=PE, choices=choices)
+
 
 # ---------------------------------------------------------------------------
 # traceback walk
 # ---------------------------------------------------------------------------
 
-def _walk_kernel(t_ref, n_ref, bw_ref, pm_ref, pe_ref, ch_ref, s1_ref,
-                 out_n, out_prob, out_close, state, *, B, C, nc, n_sentinel):
+def _walk_kernel(scal_ref, rows_ref, pm_ref, pe_ref, ch_ref,
+                 out_n, out_prob, out_close, st, *, B, C, G, nc,
+                 n_sentinel):
     """Sequential MAP walk (ref: NT_banded.cpp:204-250) as a reverse chunk
-    stream. Carry (n, j, is_m) lives in SMEM scratch; per-row outputs are
-    lane-broadcast for aligned vector stores (column 0 read back outside)."""
-    r = pl.program_id(0)
+    stream over a read group. Carry (n, j, is_m) lives per read in lanes
+    0/1/2 of a (G, 128) scratch; per-row outputs are lane-broadcast for
+    aligned vector stores (column 0 read back outside)."""
     c = pl.program_id(1)
-    T = t_ref[r]
-    N = n_ref[r]
-    bw = bw_ref[r]
-    lane = _iota_b(B)
+    T = scal_ref[:, 0:1]
+    N = scal_ref[:, 1:2]
+    bw = scal_ref[:, 2:3]
+    jf = _iota_f((1, B), 1)
+    lane128 = _iota_f((1, 128), 1)
 
     @pl.when(c == 0)
     def _():
-        state[0] = N - 1      # n
-        state[1] = bw + 1     # j
-        state[2] = 0          # is_m
+        st[...] = jnp.where(
+            lane128 == 0.0, N - 1.0,
+            jnp.where(lane128 == 1.0, bw + 1.0, 0.0),
+        )
 
     def body(k, _):
         i = C - 1 - k
         t = (nc - 1 - c) * C + i
-        n = state[0]
-        j = state[1]
-        is_m = state[2] == 1
-        active = (t <= T - 1) & (t >= 1) & (n >= 1)
-        s = s1_ref[0, i, 0]
+        tf = jnp.float32(1.0) * t
+        n = st[:, 0:1]
+        j = st[:, 1:2]
+        is_m = st[:, 2:3] == 1.0
+        active = (tf <= T - 1.0) & (tf >= 1.0) & (n >= 1.0)
+        row = rows_ref[i]
+        s = row[:, 0:1]
 
-        def lane_pick(row):
-            return jnp.sum(jnp.where(lane == j, row[None, :], 0.0))
-
-        pm = lane_pick(pm_ref[0, i, :])
-        pe = lane_pick(pe_ref[0, i, :])
-        ch = jnp.sum(jnp.where(lane == j, ch_ref[0, i, :][None, :], 0))
+        mask = jf == j                                  # (G, B)
+        pm = jnp.sum(jnp.where(mask, pm_ref[i], 0.0), axis=1, keepdims=True)
+        pe = jnp.sum(jnp.where(mask, pe_ref[i], 0.0), axis=1, keepdims=True)
+        ch = jnp.sum(jnp.where(mask, ch_ref[i].astype(jnp.float32), 0.0),
+                     axis=1, keepdims=True)
         prob = jnp.where(is_m, pm, pe)
         close = active & is_m
-        out_val = jnp.where(active, n, n_sentinel)
-        out_n[0, i, :] = jnp.full((128,), 0, jnp.int32) + out_val
-        out_prob[0, i, :] = jnp.full((128,), 0.0, jnp.float32) + prob
-        out_close[0, i, :] = jnp.full((128,), 0, jnp.int32) + close.astype(jnp.int32)
+        out_val = jnp.where(active, n, jnp.float32(n_sentinel))
+        zeros = jnp.zeros((G, 128), jnp.float32)
+        out_n[i] = (zeros + out_val).astype(jnp.int32)
+        out_prob[i] = zeros + prob
+        out_close[i] = (zeros + close.astype(jnp.float32)).astype(jnp.int32)
 
-        state[0] = jnp.where(close, n - 1, n)
-        state[1] = jnp.where(close, j - 1 + s, jnp.where(active, j + s, j))
-        state[2] = jnp.where(close, 0, jnp.where(active, ch, state[2]))
+        n_new = jnp.where(close, n - 1.0, n)
+        j_new = jnp.where(close, j - 1.0 + s, jnp.where(active, j + s, j))
+        m_new = jnp.where(close, 0.0, jnp.where(active, ch, st[:, 2:3]))
+        st[...] = jnp.where(
+            lane128 == 0.0, n_new,
+            jnp.where(lane128 == 1.0, j_new,
+                      jnp.where(lane128 == 2.0, m_new, 0.0)),
+        )
         return 0
 
     jax.lax.fori_loop(0, C, body, 0)
 
 
-def walk_pallas(PM, PE, choices, batch: bb.BandedBatch, N_max: int,
-                interpret: bool = False):
-    """Device walk + grouped medians; same outputs as
-    nt_banded_device._walk_single but with the sequential pass in Mosaic."""
-    R, T_pad, B = PM.shape
-    C = CHUNK
-    nc = (T_pad + C - 1) // C
-    Tc = nc * C
-    bs_all = batch.bstart.astype(jnp.int32)
+def _walk_t(PM, PE, choices, batch: bb.BandedBatch, N_max: int,
+            interpret: bool = False):
+    """T-major walk over (Tc, Rp, B) tensors; returns per-read (N_max+1,)
+    starts and (N_max,) medians, padded-reads included."""
+    Tc, Rp, B = PM.shape
+    G = G_BLOCK
+    C = CHUNK_WALK
+    nc = Tc // C
+    T_pad = batch.sig.shape[1] + 1
+    bs_all = _pad_reads(batch.bstart.astype(jnp.int32), Rp)
     s1 = jnp.concatenate(
-        [jnp.zeros((R, 1), jnp.int32),
+        [jnp.zeros((Rp, 1), jnp.int32),
          (bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32)], axis=1)
+    rows = _pack_rows(jnp.pad(s1, ((0, 0), (0, Tc - T_pad))))
+    scal = _pack_scal(_pad_reads(batch.T, Rp), _pad_reads(batch.N, Rp),
+                      _pad_reads(batch.bw, Rp))
 
-    pad_t3 = lambda a, v: jnp.pad(
-        a, ((0, 0), (0, Tc - T_pad), (0, 0)), constant_values=v)
-    pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
-
-    rev3 = lambda r, c, *_: (r, nc - 1 - c, 0)
-    mat_spec = lambda: pl.BlockSpec((1, C, B), rev3, memory_space=pltpu.VMEM)
-    row_spec = lambda: pl.BlockSpec((1, C, 1), rev3, memory_space=pltpu.VMEM)
-    lane_spec = lambda: pl.BlockSpec((1, C, 128), rev3, memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_walk_kernel, B=B, C=C, nc=nc, n_sentinel=N_max)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(R, nc),
-        in_specs=[mat_spec(), mat_spec(), mat_spec(), row_spec()],
-        out_specs=(lane_spec(), lane_spec(), lane_spec()),
-        scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
+    kernel = functools.partial(
+        _walk_kernel, B=B, C=C, G=G, nc=nc, n_sentinel=N_max
     )
+    rev3 = lambda r, c: (nc - 1 - c, r, 0)
+    scal_spec = pl.BlockSpec((G, scal.shape[1]), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec((C, G, rows.shape[2]), rev3,
+                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((C, G, B), rev3, memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((C, G, 128), rev3, memory_space=pltpu.VMEM)
     path_n, path_prob, closes = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(Rp // G, nc),
+        in_specs=[scal_spec, rows_spec, mat_spec, mat_spec, mat_spec],
+        out_specs=(lane_spec, lane_spec, lane_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((R, Tc, 128), jnp.int32),
-            jax.ShapeDtypeStruct((R, Tc, 128), jnp.float32),
-            jax.ShapeDtypeStruct((R, Tc, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Tc, Rp, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Tc, Rp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Rp, 128), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((G, 128), jnp.float32)],
         interpret=interpret,
-    )(
-        batch.T.astype(jnp.int32), batch.N.astype(jnp.int32),
-        batch.bw.astype(jnp.int32),
-        pad_t3(PM.astype(jnp.float32), 0.0),
-        pad_t3(PE.astype(jnp.float32), 0.0),
-        pad_t3(choices.astype(jnp.int32), 0),
-        pad_t(s1)[..., None],
-    )
-    path_n = path_n[:, 1:T_pad, 0]
-    path_prob = path_prob[:, 1:T_pad, 0]
-    closes = closes[:, 1:T_pad, 0].astype(bool)
+    )(scal, rows, PM, PE, choices.astype(jnp.int32))
+
+    path_n = path_n[1:T_pad, :, 0].T
+    path_prob = path_prob[1:T_pad, :, 0].T
+    closes = closes[1:T_pad, :, 0].T.astype(bool)
     t_idx = jnp.arange(1, T_pad, dtype=jnp.int32)
 
     def finish(pn, pp, cl):
@@ -577,3 +674,43 @@ def walk_pallas(PM, PE, choices, batch: bb.BandedBatch, N_max: int,
         return starts, med
 
     return jax.vmap(finish)(path_n, path_prob, closes)
+
+
+def walk_pallas(PM, PE, choices, batch: bb.BandedBatch, N_max: int,
+                interpret: bool = False):
+    """Device walk + grouped medians from read-major (R, T_pad, B) inputs;
+    same outputs as nt_banded_device._walk_single."""
+    R, T_pad, B = PM.shape
+    G = G_BLOCK
+    Rp = _round_up(R, G)
+    C = CHUNK_WALK
+    Tc = _round_up(T_pad, C)
+    tomaj = lambda a, v: jnp.pad(
+        _pad_reads(a, Rp), ((0, 0), (0, Tc - T_pad), (0, 0)),
+        constant_values=v,
+    ).transpose(1, 0, 2)
+    starts, med = _walk_t(
+        tomaj(PM.astype(jnp.float32), 0.0), tomaj(PE.astype(jnp.float32), 0.0),
+        tomaj(choices.astype(jnp.int32), 0), batch, N_max, interpret,
+    )
+    return starts[:R], med[:R]
+
+
+def banded_segment_pallas(batch: bb.BandedBatch, N_max: int, log_m1, log_e2,
+                          interpret: bool = False):
+    """Fused production entry: T-major end to end (no transposes of the
+    DP tensors ever materialize). Returns (Zf, Zb, starts, medians)."""
+    R = batch.sig.shape[0]
+    fM, fE = _forward_t(batch, log_m1, log_e2, interpret)
+    bM, bE = _backward_t(batch, log_m1, log_e2, interpret)
+    Tc, Rp, B = fM.shape
+    # the viterbi/walk chunk grids must divide Tc (CHUNK is a multiple of
+    # both, so Tc always is)
+    rp_iota = jnp.arange(Rp)
+    T_p = _pad_reads(batch.T.astype(jnp.int32), Rp)
+    bw_p = _pad_reads(batch.bw.astype(jnp.int32), Rp)
+    Zf = fE[T_p - 1, rp_iota, bw_p + 1]
+    Zb = bE[0, rp_iota, bw_p + 1]
+    ch, PM, PE = _viterbi_t(fM, fE, bM, bE, Zb, batch, interpret)
+    starts, medians = _walk_t(PM, PE, ch, batch, N_max, interpret)
+    return Zf[:R], Zb[:R], starts[:R], medians[:R]

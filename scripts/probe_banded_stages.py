@@ -1,7 +1,9 @@
 """TPU probe: per-stage timings of the banded device pipeline.
 
-Stages run in separate jits for attribution; the production engine fuses
-decode+DP+walk into one program. Run at bench shapes by default:
+Stage costs are measured as DIFFERENCES between jitted pipeline PREFIXES
+that each return only tiny reductions (standalone per-stage jits measure
+artifact costs on the axon backend; prefixes mirror the production fused
+program). Run at bench shapes by default:
     python scripts/probe_banded_stages.py [R] [T] [N_BASES]
 """
 
@@ -47,7 +49,7 @@ def timed(name, fn, *args, n=3):
         force(out)
         ts.append(time.perf_counter() - t0)
     print(f"{name:14s}: {min(ts)*1e3:8.1f} ms", flush=True)
-    return out
+    return min(ts)
 
 
 def main():
@@ -72,36 +74,51 @@ def main():
     means_t = jax.device_put(jnp.asarray(means, jnp.float32))
     c1_t = jax.device_put(jnp.asarray(c1, jnp.float32))
     c2_t = jax.device_put(jnp.asarray(c2, jnp.float32))
-
-    decode_fn = jax.jit(lambda dacs, a, b, kid, bits, Tr, Nr, bw: jax.vmap(
-        dv._decode_single(wire, means_t, c1_t, c2_t, jnp.float32, False)
-    )(dacs, a, b, kid, bits, Tr, Nr, bw))
-    dec = timed("decode", decode_fn, wire.dacs, wire.aff_a, wire.aff_b,
-                wire.kmer_ids, wire.shift_bits, wire.T, wire.N, wire.bw)
-    sig, mu_pad, c1_pad, c2_pad, bstart = dec
-    batch = bb.BandedBatch(
-        sig=sig, mu_pad=mu_pad, c1_pad=c1_pad, c2_pad=c2_pad, bstart=bstart,
-        T=wire.T, N=wire.N, bw=wire.bw, pad=wire.pad, B=wire.B,
-    )
-    arrs = batch[:8]  # pad/B are static — rebuild the batch inside jit
-
-    def rebuild(*a):
-        return bb.BandedBatch(*a, pad=wire.pad, B=wire.B)
-
-    fwd_fn = jax.jit(lambda *a: pk.forward_pallas(rebuild(*a), log_m1, log_e2))
-    fM, fE = timed("fwd_pallas", fwd_fn, *arrs)
-    bwd_fn = jax.jit(lambda *a: pk.backward_pallas(rebuild(*a), log_m1, log_e2))
-    bM, bE = timed("bwd_pallas", bwd_fn, *arrs)
-
     r_iota = jnp.arange(R)
-    Zb = bE[r_iota, 0, batch.bw + 1]
-    vit_fn = jax.jit(lambda a, b, c, d, z, *bt: pk.viterbi_post_pallas(
-        a, b, c, d, z, rebuild(*bt), log_m1, log_e2))
-    PM, PE, choices, Zf = timed("viterbi", vit_fn, fM, fE, bM, bE, Zb, *arrs)
 
-    walk_fn = jax.jit(lambda pm, pe, ch, *bt: pk.walk_pallas(
-        pm, pe, ch, rebuild(*bt), wire.N_max))
-    timed("walk", walk_fn, PM, PE, choices, *arrs)
+    def prefix(stage: str):
+        @jax.jit
+        def f(dacs, aff_a, aff_b, kmer_ids, shift_bits, Tr, Nr, bwr,
+              mt, c1a, c2a):
+            dec = jax.vmap(
+                dv._decode_single(wire, mt, c1a, c2a, jnp.float32, False)
+            )(dacs, aff_a, aff_b, kmer_ids, shift_bits, Tr, Nr, bwr)
+            sig, mu_pad, c1_pad, c2_pad, bstart = dec
+            batch = bb.BandedBatch(
+                sig=sig, mu_pad=mu_pad, c1_pad=c1_pad, c2_pad=c2_pad,
+                bstart=bstart, T=Tr, N=Nr, bw=bwr, pad=wire.pad, B=wire.B,
+            )
+            if stage == "decode":
+                return sig.sum() + mu_pad.sum() + bstart.sum()
+            fM, fE = pk.forward_pallas(batch, log_m1, log_e2)
+            if stage == "fwd":
+                return fE[:, -1].sum()
+            bM, bE = pk.backward_pallas(batch, log_m1, log_e2)
+            if stage == "bwd":
+                return bE[:, 0].sum() + fE[:, -1].sum()
+            Zb = bE[r_iota, 0, batch.bw + 1]
+            Zf = fE[r_iota, Tr - 1, bwr + 1]
+            choices, PM, PE = pk.viterbi_post_pallas(
+                fM, fE, bM, bE, Zb, batch
+            )
+            if stage == "viterbi":
+                return PM[:, 0].sum() + Zf.sum()
+            starts, medians = pk.walk_pallas(PM, PE, choices, batch,
+                                             wire.N_max)
+            return starts.sum() + medians.sum() + Zf.sum() + Zb.sum()
+
+        return f
+
+    args = (wire.dacs, wire.aff_a, wire.aff_b, wire.kmer_ids,
+            wire.shift_bits, wire.T, wire.N, wire.bw, means_t, c1_t, c2_t)
+    acc = {}
+    for stage in ["decode", "fwd", "bwd", "viterbi", "walk"]:
+        acc[stage] = timed(f"<= {stage}", prefix(stage), *args)
+    prev = 0.0
+    print("--- per-stage (differences) ---", flush=True)
+    for stage in ["decode", "fwd", "bwd", "viterbi", "walk"]:
+        print(f"{stage:14s}: {(acc[stage]-prev)*1e3:8.1f} ms", flush=True)
+        prev = acc[stage]
 
     run = dv.make_device_fn(nt["m1"], nt["e2"], means, c1, c2,
                             dtype=jnp.float32)
