@@ -234,10 +234,14 @@ class NTCBatchEngine:
         return retry
 
     def _z_errors(self, host, j, T, N, K):
+        # "matrices" uses the SPARSE lattice size actually evaluated
+        # (T x 5 states x CN x CK slots): T*N*K would make the per-cell
+        # tolerance admit 1000+ nats of fwd/bwd divergence at T=16k
+        cells3 = T * 5 * self.cap_n * (self.cap_k + self.cap_n)
         checks = (
             ("preProcTN", host["Zf_tn"][j], host["Zb_tn"][j], T * N, 1),
             ("preProcTK", host["Zf_tk"][j], host["Zb_tk"][j], T * K, 2),
-            ("matrices", host["Zf"][j], host["Zb"][j], T * N * K, 3),
+            ("matrices", host["Zf"][j], host["Zb"][j], cells3, 3),
         )
         for name, zf, zb, cells, _code in checks:
             zf, zb = float(zf), float(zb)
@@ -278,9 +282,12 @@ class NTCBatchEngine:
         median SELECTION is identical and the median VALUE rescales by
         exp(Zb - Zf) — exact, because the grouped median is monotone in
         the probabilities (tie-averaging commutes with scaling)."""
-        scale = math.exp(float(host["Zb"][j]) - float(host["Zf"][j]))
-        if scale == 1.0:
+        diff = float(host["Zb"][j]) - float(host["Zf"][j])
+        if diff == 0.0:
             return segs
+        # reads with |Zb-Zf| this large fail _z_errors first; the guard
+        # keeps a pathological read from raising OverflowError here
+        scale = math.exp(min(diff, 700.0))
         return [(st, bp, t0, p * scale, pk) for st, bp, t0, p, pk in segs]
 
     def _run_exact(self, it: BatchItem) -> BatchOutput:

@@ -1,10 +1,9 @@
 """TPU probe: per-stage timings of the batched NTC pipeline.
 
-Stage costs are measured as DIFFERENCES between jitted pipeline PREFIXES
-that each return only tiny reductions (mirrors the production fused
-program; standalone per-stage jits measure artifact costs on the axon
-backend).
-    python scripts/probe_ntc_stages.py [R] [T] [CN] [CK0]
+Stage costs are differences between jitted pipeline PREFIXES that return
+tiny reductions (mirrors scripts/probe_banded_stages.py). Run at bench
+shapes by default:
+    python scripts/probe_ntc_stages.py [R] [T] [N_BASES]
 """
 
 import os
@@ -19,6 +18,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import functools
 import math
 
 import jax.numpy as jnp
@@ -40,112 +40,107 @@ def force(x):
 
 
 def timed(name, fn, *args, n=3):
+    t0 = time.perf_counter()
     out = fn(*args)
     force(out)
+    print(f"{name:14s}: first {time.perf_counter()-t0:7.1f} s", flush=True)
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
         out = fn(*args)
         force(out)
         ts.append(time.perf_counter() - t0)
-    print(f"{name:14s}: {min(ts)*1e3:8.1f} ms", flush=True)
+    print(f"{name:14s}: {min(ts)*1e3:9.1f} ms", flush=True)
     return min(ts)
 
 
 def main():
-    R = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    R = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 16000
-    CN = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    CK0 = int(sys.argv[4]) if len(sys.argv) > 4 else 112
-    n_bases = 1800
+    n_bases = int(sys.argv[3]) if len(sys.argv) > 3 else 1800
+    CN, CK0 = 8, 112
     dtype = jnp.float32
     model = load_model_for_pore("rna002")
-    ntk = {k: math.log(v) for k, v in NTK_TRANSITIONS["rna002"].items()}
-    nt = NT_TRANSITIONS["rna002"]
-    lm, le = math.log(nt["m1"]), math.log(nt["e2"])
+    pore = "rna002"
+    ntk = NTK_TRANSITIONS[pore]
+    trans_log = {k: math.log(v) for k, v in ntk.items()}
+    nt = NT_TRANSITIONS[pore]
+    log_ppm, log_ppe = math.log(nt["m1"]), math.log(nt["e2"])
     means, c1, c2 = model.score_params()
-    S = model.kmer_size
-    K = model.num_kmers
+    A, S, K = model.alphabet_size, model.kmer_size, model.num_kmers
 
     sigs, kids = [], []
     for s in range(R):
         sig, read = make_read(model, n_bases=n_bases, mean_dwell=9.0, seed=s)
         sigs.append(sig[:T])
-        kids.append(np.asarray(seq_to_kmer_ids(read, S, 4), np.int32))
+        kids.append(np.asarray(seq_to_kmer_ids(read, S, A), np.int32))
     T_arr = np.array([len(s) + 1 for s in sigs], np.int32)
     N_arr = np.array([len(k) + 1 for k in kids], np.int32)
     T_pad = round_up(int(T_arr.max()), 2048)
     N2 = round_up(int(N_arr.max()), 256)
-    sig_a = np.zeros((R, T_pad - 1), np.float32)
-    kid_a = np.zeros((R, N2 - 1), np.int32)
-    for j in range(R):
-        sig_a[j, : T_arr[j] - 1] = sigs[j]
-        kid_a[j, : N_arr[j] - 1] = kids[j]
-    sig_d = jax.device_put(jnp.asarray(sig_a))
-    kid_d = jax.device_put(jnp.asarray(kid_a))
-    T_r = jax.device_put(jnp.asarray(T_arr))
-    N_r = jax.device_put(jnp.asarray(N_arr))
-    mu_d = jax.device_put(jnp.asarray(means, dtype))
-    sd_d = jax.device_put(jnp.asarray(model.stdevs, dtype))
-    c1_d = jax.device_put(jnp.asarray(c1, dtype))
-    c2_d = jax.device_put(jnp.asarray(c2, dtype))
     S_max = round_up(N2 + N2 // 4 + 64, 128)
+    sigp = np.zeros((R, T_pad - 1), np.float32)
+    kidp = np.zeros((R, N2 - 1), np.int32)
+    for j in range(R):
+        sigp[j, : T_arr[j] - 1] = sigs[j]
+        kidp[j, : N_arr[j] - 1] = kids[j]
     print(f"R={R} T_pad={T_pad} N2={N2} CN={CN} CK0={CK0} S_max={S_max}",
           flush=True)
 
-    def tree_sum(x):
-        return sum(
-            jnp.sum(jnp.where(jnp.isfinite(l.astype(jnp.float32)),
-                              l.astype(jnp.float32), 0.0))
-            for l in jax.tree_util.tree_leaves(x)
-        )
+    means_t = jax.device_put(jnp.asarray(means, dtype))
+    sd_t = jax.device_put(jnp.asarray(model.stdevs, dtype))
+    c1_t = jax.device_put(jnp.asarray(c1, dtype))
+    c2_t = jax.device_put(jnp.asarray(c2, dtype))
 
     def prefix(stage: str):
         @jax.jit
-        def f(sig, kid, Tr, Nr, mu, sd, c1a, c2a):
-            pn = nb.pre_tn_batch(sig, kid, Nr, Tr, mu, sd, lm, le, CN, dtype)
+        def f(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a):
+            pn = nb.pre_tn_batch(sig, kmer_ids, N_r, T_r, mu, sd,
+                                 log_ppm, log_ppe, CN, dtype)
             if stage == "pre_tn":
-                return tree_sum((pn.cand, pn.Zf))
-            pk_ = nb.pre_tk_batch(sig, Tr, mu, c1a, c2a, lm, le, 4, CK0, dtype)
+                return pn.Zf.sum() + pn.cnt.sum()
+            pk = nb.pre_tk_batch(sig, T_r, mu, c1a, c2a, log_ppm, log_ppe,
+                                 A, CK0, dtype)
             if stage == "pre_tk":
-                return tree_sum((pn.cand, pk_.cand, pk_.Zf))
+                return pn.Zf.sum() + pk.Zf.sum() + pk.cnt.sum()
             plan, dims = nb.build_plan_batch(
-                pn.cand, pn.cnt, pk_.cand, pk_.cnt, kid, Nr,
-                mu, c1a, c2a, 4, S, dtype,
+                pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
+                mu, c1a, c2a, A, S, dtype,
             )
             if stage == "plan":
-                return tree_sum((plan.ks, plan.allowed, plan.col_prec))
+                return (plan.allowed.sum() + plan.mu_k.sum()
+                        + pn.Zf.sum() + pk.Zf.sum())
             sigd = sig.astype(dtype)
-            bwd = nb.ntc_backward_batch(plan, dims, sigd, ntk, Nr, Tr, S, dtype)
-            Zb3 = nb.ntc_zb_batch(plan, dims, bwd[0])
+            bwd = nb.ntc_backward_batch(plan, dims, sigd, trans_log,
+                                        N_r, T_r, S, dtype)
             if stage == "bwd":
-                return tree_sum((bwd[0], Zb3))
-            lp, choices, apE_final, fwdE_final = nb.ntc_posterior_viterbi_batch(
-                plan, dims, sigd, bwd, Zb3, ntk, Nr, Tr, S, dtype
-            )
-            if stage == "viterbi":
-                return tree_sum((lp[0], choices[0], apE_final))
-            Zf3 = nb.ntc_zf_batch(plan, dims, fwdE_final, Nr, Tr)
-            i0, j0, k0, valid = nw.start_slots(plan, dims, apE_final, Nr, Tr)
-            seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = nw.ntc_walk_batch(
-                plan, dims, lp, choices, Nr, Tr, i0, j0, k0, valid, K, S, S_max
-            )
-            return tree_sum((seg_cnt, st_a, med, Zf3))
+                return bwd[0][0].sum() + pn.Zf.sum()
+            Zb3 = nb.ntc_zb_batch(plan, dims, bwd[0])
+            lp, choices, apE_final, fwdE_final = \
+                nb.ntc_posterior_viterbi_batch(
+                    plan, dims, sigd, bwd, Zb3, trans_log, N_r, T_r, S, dtype)
+            if stage == "post_vit":
+                return Zb3.sum() + fwdE_final.sum() + choices[0].sum()
+            Zf3 = nb.ntc_zf_batch(plan, dims, fwdE_final, N_r, T_r)
+            i0, j0, k0, valid = nw.start_slots(plan, dims, apE_final,
+                                               N_r, T_r)
+            seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = \
+                nw.ntc_walk_batch(plan, dims, lp, choices, N_r, T_r,
+                                  i0, j0, k0, valid, K, S, S_max)
+            return seg_cnt.sum() + med.sum() + Zf3.sum()
 
         return f
 
-    args = (sig_d, kid_d, T_r, N_r, mu_d, sd_d, c1_d, c2_d)
-    stages = ["pre_tn", "pre_tk", "plan", "bwd", "viterbi", "walk"]
+    args = (jnp.asarray(sigp), jnp.asarray(kidp), jnp.asarray(T_arr),
+            jnp.asarray(N_arr), means_t, sd_t, c1_t, c2_t)
     acc = {}
+    stages = ["pre_tn", "pre_tk", "plan", "bwd", "post_vit", "walk"]
     for stage in stages:
-        t0 = time.perf_counter()
         acc[stage] = timed(f"<= {stage}", prefix(stage), *args)
-        print(f"   (compile+3 runs took {time.perf_counter()-t0:.1f}s)",
-              flush=True)
     prev = 0.0
     print("--- per-stage (differences) ---", flush=True)
     for stage in stages:
-        print(f"{stage:14s}: {(acc[stage]-prev)*1e3:8.1f} ms", flush=True)
+        print(f"{stage:14s}: {(acc[stage]-prev)*1e3:9.1f} ms", flush=True)
         prev = acc[stage]
 
 
