@@ -57,8 +57,11 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
     S = model.kmer_size
     K = model.num_kmers
 
-    @functools.partial(jax.jit, static_argnames=("CN", "CK0", "S_max"))
-    def run(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a, CN, CK0, S_max):
+    @functools.partial(
+        jax.jit, static_argnames=("CN", "CK0", "S_max", "use_pallas")
+    )
+    def run(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a, CN, CK0, S_max,
+            use_pallas=False):
         pn = nb.pre_tn_batch(
             sig, kmer_ids, N_r, T_r, mu, sd, log_ppm, log_ppe, CN, dtype
         )
@@ -70,17 +73,36 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             mu, c1a, c2a, A, S, dtype,
         )
         sigd = sig.astype(dtype)
-        bwd = nb.ntc_backward_batch(
-            plan, dims, sigd, trans_log, N_r, T_r, S, dtype
-        )
-        Zb3 = nb.ntc_zb_batch(plan, dims, bwd[0])
-        lp, choices, apE_final, fwdE_final = nb.ntc_posterior_viterbi_batch(
-            plan, dims, sigd, bwd, Zb3, trans_log, N_r, T_r, S, dtype
-        )
+        if use_pallas:
+            # Mosaic kernel path (ops/ntc_pallas): requires the (16, 8,
+            # 128, 4) bucket geometry checked by the engine
+            from dynamont_tpu.ops import ntc_pallas as npk
+
+            R = dims[0]
+            packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r)
+            bwd = npk.ntc_backward_pallas(packs, trans_log)
+            bwd0 = (bwd[0].reshape(5, R, npk.CN, npk.CK)
+                    .transpose(1, 0, 2, 3).reshape(R, -1))
+            Zb3 = nb.ntc_zb_batch(plan, dims, bwd0)
+            lp, choices, apEf, fwdEf = npk.ntc_posterior_viterbi_pallas(
+                packs, bwd, Zb3, trans_log
+            )
+            apE_final = apEf.reshape(R, npk.CN, npk.CK)
+            fwdE_final = fwdEf.reshape(R, npk.CN, npk.CK)
+        else:
+            bwd = nb.ntc_backward_batch(
+                plan, dims, sigd, trans_log, N_r, T_r, S, dtype
+            )
+            Zb3 = nb.ntc_zb_batch(plan, dims, bwd[0])
+            lp, choices, apE_final, fwdE_final = \
+                nb.ntc_posterior_viterbi_batch(
+                    plan, dims, sigd, bwd, Zb3, trans_log, N_r, T_r, S, dtype
+                )
         Zf3 = nb.ntc_zf_batch(plan, dims, fwdE_final, N_r, T_r)
         i0, j0, k0, valid = nw.start_slots(plan, dims, apE_final, N_r, T_r)
         seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = nw.ntc_walk_batch(
-            plan, dims, lp, choices, N_r, T_r, i0, j0, k0, valid, K, S, S_max
+            plan, dims, lp, choices, N_r, T_r, i0, j0, k0, valid, K, S,
+            S_max, kernel_layout=use_pallas,
         )
         return dict(
             Zf_tn=pn.Zf, Zb_tn=pn.Zb, ovf_tn=pn.overflow,
@@ -90,9 +112,10 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             seg_start=start_a, seg_k=k_a, seg_med=med, seg_ovf=seg_ovf,
         )
 
-    def call(sig, kmer_ids, T_r, N_r, CN: int, CK0: int, S_max: int):
+    def call(sig, kmer_ids, T_r, N_r, CN: int, CK0: int, S_max: int,
+             use_pallas: bool = False):
         return run(sig, kmer_ids, T_r, N_r, means_t, sd_t, c1_t, c2_t,
-                   CN=CN, CK0=CK0, S_max=S_max)
+                   CN=CN, CK0=CK0, S_max=S_max, use_pallas=use_pallas)
 
     return call
 
@@ -116,6 +139,7 @@ class NTCBatchEngine:
                            # T=16k; CK = cap_k + cap_n tile-pads to 128
                            # lanes regardless, so 112 + 8 = 120 is free
         fallback: bool = True,
+        pallas: bool | None = None,  # None = auto (TPU + fp32)
     ):
         if model.kmer_size > 5:
             # documented 9-mer fallback: NTC runs on the reduced 5-mer
@@ -136,6 +160,21 @@ class NTCBatchEngine:
         self.max_batch_samples = max_batch_samples
         self.t_pad_to = t_pad_to
         self.n_pad_to = n_pad_to
+        if pallas is None:
+            import os
+
+            env = os.environ.get("DYNAMONT_NTC_PALLAS", "auto")
+            pallas = (
+                env != "0"
+                and (env == "1" or jax.devices()[0].platform == "tpu")
+                and jnp.dtype(dtype) == jnp.float32
+            )
+        if pallas:
+            # Mosaic kernel geometry (ops/ntc_pallas): 16 reads x 8
+            # n-slots on sublanes, 128 k-slots on lanes
+            cap_n, cap_k = 8, 120
+            batch_size = min(batch_size, 16)
+        self.pallas = pallas
         self.cap_n = cap_n
         self.cap_k = cap_k
         self.fallback = fallback
@@ -195,18 +234,27 @@ class NTCBatchEngine:
             for i in gidx
         ]
         N_arr = np.array([len(k) + 1 for k in kmer_ids], np.int32)
+        R_pad = 16 if self.pallas else R
+        if R_pad != R:
+            # kernel geometry needs exactly 16 reads: replicate the first
+            # (extra outputs are simply never collected)
+            T_arr = np.concatenate([T_arr, np.repeat(T_arr[:1], R_pad - R)])
+            N_arr = np.concatenate([N_arr, np.repeat(N_arr[:1], R_pad - R)])
         T_pad = round_up(int(T_arr.max()), self.t_pad_to)
         N2 = round_up(int(N_arr.max()), self.n_pad_to)
-        sig = np.zeros((R, T_pad - 1), np.float32)
-        kid = np.zeros((R, N2 - 1), np.int32)
-        for j, i in enumerate(gidx):
+        sig = np.zeros((R_pad, T_pad - 1), np.float32)
+        kid = np.zeros((R_pad, N2 - 1), np.int32)
+        for j in range(R_pad):
+            i = gidx[j] if j < R else gidx[0]
+            kj = kmer_ids[j] if j < R else kmer_ids[0]
             sig[j, : T_arr[j] - 1] = items[i].signal
-            kid[j, : N_arr[j] - 1] = kmer_ids[j]
+            kid[j, : N_arr[j] - 1] = kj
         # segment cap: one per base plus polish slack (overflow -> fallback)
         S_max = round_up(N2 + N2 // 4 + 64, 128)
         res = self._fn(
             jnp.asarray(sig), jnp.asarray(kid), jnp.asarray(T_arr),
             jnp.asarray(N_arr), CN=self.cap_n, CK0=self.cap_k, S_max=S_max,
+            use_pallas=self.pallas,
         )
         return gidx, T_arr, N_arr, res
 

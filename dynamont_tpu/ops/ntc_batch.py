@@ -511,9 +511,15 @@ def _gr(x, row_idx):
 
 
 def _gc(x, col_idx):
-    """x (R, 5, CN, CK), col_idx (R, CKo) -> gather cols, -inf where idx<0.
+    """x (R, X, CN, CK), col_idx (R, CKo) -> gather cols, -inf where idx<0.
+
     One-hot matmul (see _gr); contraction over the source CK axis yields
-    (R, 5, CN, CKo) directly, no transpose."""
+    (R, X, CN, CKo) directly, no transpose. X is ANY stack of source rows
+    that share the target index set: the scan bodies stack exactly the
+    (state, row-gather) combinations they consume onto this axis so each
+    target index set builds ONE one-hot and runs ONE einsum (the naive
+    per-source-state form gathered all 5 states per call and discarded
+    most — 5x the MACs on the A*CK-wide successor gathers)."""
     dt = x.dtype
     CK = x.shape[3]
     oh = (col_idx[:, None, :]
@@ -569,40 +575,48 @@ def _fwd_column(prev, xs_t, tl, dims: PlanDims, kmer_size, dtype):
     ge_same = _gr(prev, row_same)
     ge_prev = _gr(prev, row_prev)
 
-    # alphabet-batched predecessor gathers: (R, 5, CN, A*CK) in one op;
-    # candidate terms stack on axis 0 (leading axes never tile-pad)
-    gp = _gc(ge_prev, col_prec)
-    gs = _gc(ge_same, col_prec)
-    sl = lambda g, st, ai: g[:, st, :, ai * CK:(ai + 1) * CK]
+    # alphabet-batched predecessor gathers: exactly the consumed
+    # (row-gather, state) pairs stack on the X axis of ONE einsum per
+    # target index set (see _gc)
+    gprec = _gc(
+        jnp.stack([ge_prev[:, E_ST], ge_prev[:, I_ST], ge_same[:, S_ST],
+                   ge_same[:, E_ST], ge_same[:, I_ST]], axis=1),
+        col_prec,
+    )  # (R, 5, CN, A*CK)
+    sl = lambda g, x, ai: g[:, x, :, ai * CK:(ai + 1) * CK]
     a_terms = [t for ai in range(A)
-               for t in (sl(gp, E_ST, ai) + tl["a1"],
-                         sl(gp, I_ST, ai) + tl["a2"])]
+               for t in (sl(gprec, 0, ai) + tl["a1"],
+                         sl(gprec, 1, ai) + tl["a2"])]
     a_acc = logsumexp(jnp.stack(a_terms, axis=0), axis=0)
     p_terms = [t for ai in range(A)
-               for t in (sl(gs, S_ST, ai) + tl["p1"],
-                         sl(gs, E_ST, ai) + tl["p2"],
-                         sl(gs, I_ST, ai) + tl["p3"])]
+               for t in (sl(gprec, 2, ai) + tl["p1"],
+                         sl(gprec, 3, ai) + tl["p2"],
+                         sl(gprec, 4, ai) + tl["p3"])]
     p_acc = logsumexp(jnp.stack(p_terms, axis=0), axis=0)
     a_new = a_acc + sc
     p_new = p_acc + sc
 
-    gpk = _gc(ge_prev, col_same)
+    gsame = _gc(
+        jnp.stack([ge_prev[:, P_ST], ge_prev[:, E_ST], ge_prev[:, I_ST],
+                   ge_same[:, A_ST], ge_same[:, P_ST], ge_same[:, S_ST],
+                   ge_same[:, E_ST]], axis=1),
+        col_same,
+    )  # (R, 7, CN, CK)
     s_new = (
         logsumexp(
             jnp.stack(
-                [gpk[:, P_ST] + tl["s1"], gpk[:, E_ST] + tl["s2"],
-                 gpk[:, I_ST] + tl["s3"]], axis=0,
+                [gsame[:, 0] + tl["s1"], gsame[:, 1] + tl["s2"],
+                 gsame[:, 2] + tl["s3"]], axis=0,
             ),
             axis=0,
         )
         + sc
     )
-    gsk = _gc(ge_same, col_same)
     e_new = (
         logsumexp(
             jnp.stack(
-                [gsk[:, A_ST], gsk[:, P_ST] + tl["e2"],
-                 gsk[:, S_ST] + tl["e3"], gsk[:, E_ST] + tl["e4"]], axis=0,
+                [gsame[:, 3], gsame[:, 4] + tl["e2"],
+                 gsame[:, 5] + tl["e3"], gsame[:, 6] + tl["e4"]], axis=0,
             ),
             axis=0,
         )
@@ -722,27 +736,29 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
 
         gn_same = _gr(nxt, brow_same)
         gn_next = _gr(nxt, brow_next)
-        gsk = _gc(gn_same, bcol_same)
-        gnk = _gc(gn_next, bcol_same)
+        gk = _gc(jnp.stack([gn_same[:, E_ST], gn_next[:, S_ST]], axis=1),
+                 bcol_same)  # (R, 2, CN, CK): [E of same-row, S of next-row]
 
         n_pos = (cn >= 1)[:, :, None]
         n_lt = (cn < (N_r - 1)[:, None])[:, :, None]
-        a_new = jnp.where(n_pos, gsk[:, E_ST] + sc1, NEG_INF)
+        a_new = jnp.where(n_pos, gk[:, 0] + sc1, NEG_INF)
         p_new = jnp.logaddexp(
-            jnp.where(n_pos, gsk[:, E_ST] + tl["e2"] + sc1, NEG_INF),
-            jnp.where(n_lt, gnk[:, S_ST] + tl["s1"] + sc2, NEG_INF),
+            jnp.where(n_pos, gk[:, 0] + tl["e2"] + sc1, NEG_INF),
+            jnp.where(n_lt, gk[:, 1] + tl["s1"] + sc2, NEG_INF),
         )
         # alphabet-batched successor terms (the ai-unrolled gathers cost
         # ~4x the HLO ops); A-major flat layouts keep every transient
         # free of trailing small axes (tile-relayout trap), and candidate
-        # terms stack on axis 0
+        # terms stack on axis 0. Only P-of-same-row and A-of-next-row are
+        # consumed: stacking just those makes the A*CK-wide einsum 5x
+        # smaller than gathering all states.
         d_s = sig_t[:, None] - mu_suc
         scs = c1_suc - c2_suc * d_s * d_s          # (R, A*CK) A-major
-        gsp = _gc(gn_same, bcol_suc)               # (R, 5, CN, A*CK)
-        gna = _gc(gn_next, bcol_suc)
-        base_s = jnp.where(n_pos, gsk[:, E_ST] + tl["e3"] + sc1, NEG_INF)
-        base_e = jnp.where(n_pos, gsk[:, E_ST] + tl["e4"] + sc1, NEG_INF)
-        gnkS = gnk[:, S_ST] + sc2
+        gsuc = _gc(jnp.stack([gn_same[:, P_ST], gn_next[:, A_ST]], axis=1),
+                   bcol_suc)                       # (R, 2, CN, A*CK)
+        base_s = jnp.where(n_pos, gk[:, 0] + tl["e3"] + sc1, NEG_INF)
+        base_e = jnp.where(n_pos, gk[:, 0] + tl["e4"] + sc1, NEG_INF)
+        gnkS = gk[:, 1] + sc2
         s_terms = [base_s]
         e_terms = [base_e]
         i_terms = []
@@ -755,10 +771,10 @@ def ntc_backward_batch(plan: NTCPlan, dims: PlanDims, sig, trans_log,
             sc1s = scn[:, :, None] + scs_ai - 2.0 * (hd1s + m1)
             sc2s = scn2[:, :, None] + scs_ai - 2.0 * (hd2s + m2)
             gspP = jnp.where(
-                n_pos, gsp[:, P_ST, :, ai * CK:(ai + 1) * CK] + sc1s, NEG_INF
+                n_pos, gsuc[:, 0, :, ai * CK:(ai + 1) * CK] + sc1s, NEG_INF
             )
             gnaA = jnp.where(
-                n_lt, gna[:, A_ST, :, ai * CK:(ai + 1) * CK] + sc2s, NEG_INF
+                n_lt, gsuc[:, 1, :, ai * CK:(ai + 1) * CK] + sc2s, NEG_INF
             )
             s_terms.append(gspP + tl["p1"])
             e_terms.append(gspP + tl["p2"])
@@ -885,23 +901,30 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
 
         # A: for pre in prec order: E then I (ref walk order); candidates
         # stack on axis 0 and one argmax encodes the first-match choice
-        gp = _gc(ge_prev, col_prec)
-        gs = _gc(ge_same, col_prec)
-        sl = lambda g, st, ai: g[:, st, :, ai * CK:(ai + 1) * CK]
+        gprec = _gc(
+            jnp.stack([ge_prev[:, E_ST], ge_prev[:, I_ST], ge_same[:, E_ST],
+                       ge_same[:, S_ST], ge_same[:, I_ST]], axis=1),
+            col_prec,
+        )
+        sl = lambda g, x, ai: g[:, x, :, ai * CK:(ai + 1) * CK]
         a_cands = [t for ai in range(A)
-                   for t in (sl(gp, E_ST, ai), sl(gp, I_ST, ai))]
+                   for t in (sl(gprec, 0, ai), sl(gprec, 1, ai))]
         a_max, ch_a = _first_match(a_cands, dtype)
         p_cands = [t for ai in range(A)
-                   for t in (sl(gs, E_ST, ai), sl(gs, S_ST, ai),
-                             sl(gs, I_ST, ai))]
+                   for t in (sl(gprec, 2, ai), sl(gprec, 3, ai),
+                             sl(gprec, 4, ai))]
         p_max, ch_p = _first_match(p_cands, dtype)
-        gpk = _gc(ge_prev, col_same)
-        s_max, ch_s = _first_match(
-            [gpk[:, E_ST], gpk[:, P_ST], gpk[:, I_ST]], dtype
+        gsame = _gc(
+            jnp.stack([ge_prev[:, E_ST], ge_prev[:, P_ST], ge_prev[:, I_ST],
+                       ge_same[:, E_ST], ge_same[:, A_ST], ge_same[:, S_ST],
+                       ge_same[:, P_ST]], axis=1),
+            col_same,
         )
-        gsk = _gc(ge_same, col_same)
+        s_max, ch_s = _first_match(
+            [gsame[:, 0], gsame[:, 1], gsame[:, 2]], dtype
+        )
         e_max, ch_e = _first_match(
-            [gsk[:, E_ST], gsk[:, A_ST], gsk[:, S_ST], gsk[:, P_ST]], dtype
+            [gsame[:, 3], gsame[:, 4], gsame[:, 5], gsame[:, 6]], dtype
         )
 
         n_pos = (cn >= 1)[:, :, None]

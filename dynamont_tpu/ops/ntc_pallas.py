@@ -1,0 +1,656 @@
+"""Mosaic (Pallas TPU) kernels for the batched NTC 3D DP scans.
+
+The XLA lax.scan bodies in ops/ntc_batch.py are correct but latency-bound:
+each of the ~300 HLO ops in a step costs ~1-2 us of fixed overhead on this
+backend, so a 16-read T=16k bucket spends ~11 s in the two scans. These
+kernels run the identical recurrences (ref: src/cpp/NTC.cpp:417-669 via the
+candidate-slot layout of ops/ntc_dp.py) as on-core fori loops, one fused
+kernel invocation per T-chunk.
+
+Layout (all tensors T-major):
+* the 16 reads x CN=8 n-slots of a bucket form the 128-sublane axis
+  (m = r*8 + i), the CK=128 k-slots the lane axis — every vector op runs
+  at full (8, 128)-tile utilization and a DP state is one (128, 128)
+  block; the five APSEI states stack to (640, 128) rows in the stores;
+* slot gathers are one-hot matmuls on the MXU at Precision.HIGHEST
+  (bit-exact for fp32 values; a plain bf16 pass would corrupt log-probs,
+  see ops/ntc_batch._gc): row (n-slot) gathers use a 128x128 block-
+  diagonal one-hot; column (k-slot) gathers run one small matmul per read
+  against a (CK, 128+512) one-hot of that read's [same | successor]
+  target indices;
+* per-(t, n-slot) scalars stream as a (T, NS, 128) pack transposed
+  in-kernel to (128, NS) columns; per-(t, read) k-row streams as
+  (T, *, 16, CK/ACK) packs expanded to 128 sublanes by a one-hot matmul;
+* the in-column I chains (ref: NTC.cpp:474-477,565-572) run as 3
+  sublane-roll doubling steps of the log-affine/max-plus composition —
+  read groups are 8-aligned so rolls cross no read boundary once the
+  first slot of each group carries the identity map;
+* the posterior kernel writes lp OVER the backward store
+  (input_output_aliases): row t of bwd is consumed in the same grid step
+  that writes row t of lp, saving a 5.4 GB HBM allocation.
+
+The kernels require R=16, CN=8, CK=128 (cap_k=120), A=4; the engine pads
+read counts up and falls back to the XLA scan path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+R = 16
+CN = 8
+RC = R * CN          # 128 sublanes
+CK = 128             # k-slots per column (cap_k=120 + CN)
+A = 4
+ACK = A * CK         # 512
+NS = 24              # nrow streams (padded)
+C_BWD = 8            # rows per grid step, backward kernel
+C_PV = 4             # rows per grid step, posterior/viterbi kernel
+
+NEG_INF = float(np.float32(-np.inf))
+NEG_BIG = -1e30      # finite -inf proxy inside one-hot matmuls
+NEG_THR = -5e29
+PREC = jax.lax.Precision.HIGHEST
+
+# nrow stream indices (lane = r*8 + i)
+MU_N, C1_N, C2_N = 0, 1, 2
+MU_N2, C1_N2, C2_N2 = 3, 4, 5
+NPOS, NLT, CHAINUP, CHAINF = 6, 7, 8, 9
+BROW_SAME, BROW_NEXT, ROW_SAME, ROW_PREV = 10, 11, 12, 13
+D01, D02 = 14, 15
+ISTERM, DEAD, ROWN, N0 = 16, 17, 18, 19
+SIG_T, SIG_TM1 = 20, 21
+
+# kcol stream indices ((16, CK) rows per stream)
+K_MU, K_C1, K_C2, K_BCS, K_CSF, K_SIG, K_SIGM1 = 0, 1, 2, 3, 4, 5, 6
+NKS = 7
+# suc stream indices ((16, ACK) rows per stream)
+S_MU, S_C1, S_C2, S_BCS, S_CPF = 0, 1, 2, 3, 4
+NSS = 5
+
+A_ST, P_ST, S_ST, E_ST, I_ST = 0, 1, 2, 3, 4  # ref: NTC.cpp:699-703
+
+
+class NTCPacks(NamedTuple):
+    nrow: jax.Array   # (T, NS, 128) f32
+    kcol: jax.Array   # (T, NKS, 16, CK) f32
+    suc: jax.Array    # (T, NSS, 16, ACK) f32
+    alw: jax.Array    # (T, 128, CK) int8
+    hd: jax.Array     # (T, 128, CK) int16 packed hd1|hd2<<4|hd1s<<8|hd2s<<12
+    T_pad: int
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def build_kernel_packs(plan, dims, sig, N_r, T_r) -> NTCPacks:
+    """Re-lay the flat (T, X) NTCPlan streams into the kernel layouts.
+
+    sig: (R, T_pad-1) f32; N_r/T_r: (R,) int32. All jit-traceable."""
+    Rr, CNp, CKp, Ap = dims
+    assert (Rr, CNp, CKp, Ap) == (R, CN, CK, A), (dims,)
+    T_pad = plan.cand_n.shape[0]
+
+    cn3 = plan.cand_n.reshape(T_pad, R, CN)
+    rep = lambda x: jnp.repeat(x, CN, axis=1)          # (T, R) -> (T, 128)
+    Nb = N_r[None, :].astype(jnp.int32)
+    n_pos = (cn3 >= 1).reshape(T_pad, RC)
+    n_lt = (cn3 < (N_r - 1)[None, :, None]).reshape(T_pad, RC)
+    rowN = (cn3 == (N_r - 1)[None, :, None]).reshape(T_pad, RC)
+    n0 = (cn3 == 0).reshape(T_pad, RC)
+    chup3 = jnp.concatenate(
+        [cn3[:, :, 1:] == cn3[:, :, :-1] + 1,
+         jnp.zeros((T_pad, R, 1), bool)], axis=2)
+    chf3 = jnp.concatenate(
+        [jnp.zeros((T_pad, R, 1), bool), chup3[:, :, :-1]], axis=2)
+    t_io = jnp.arange(T_pad, dtype=jnp.int32)[:, None]
+    is_term = rep(t_io == (T_r - 1)[None, :])
+    dead = rep(t_io > (T_r - 1)[None, :])
+    sig_pad = jnp.concatenate([_f32(sig), jnp.zeros((R, 1), jnp.float32)], 1)
+    sig_prev = jnp.concatenate([jnp.zeros((R, 1), jnp.float32),
+                                sig_pad[:, :-1]], 1)
+    sig_t = rep(sig_pad.T)
+    sig_tm1 = rep(sig_prev.T)
+
+    streams = [None] * NS
+    streams[MU_N] = _f32(plan.mu_n)
+    streams[C1_N] = _f32(plan.c1_n)
+    streams[C2_N] = _f32(plan.c2_n)
+    streams[MU_N2] = _f32(plan.mu_n2)
+    streams[C1_N2] = _f32(plan.c1_n2)
+    streams[C2_N2] = _f32(plan.c2_n2)
+    streams[NPOS] = _f32(n_pos)
+    streams[NLT] = _f32(n_lt)
+    streams[CHAINUP] = _f32(chup3.reshape(T_pad, RC))
+    streams[CHAINF] = _f32(chf3.reshape(T_pad, RC))
+    streams[BROW_SAME] = _f32(plan.brow_same)
+    streams[BROW_NEXT] = _f32(plan.brow_next)
+    streams[ROW_SAME] = _f32(plan.row_same)
+    streams[ROW_PREV] = _f32(plan.row_prev)
+    streams[D01] = _f32(plan.d01)
+    streams[D02] = _f32(plan.d02)
+    streams[ISTERM] = _f32(is_term)
+    streams[DEAD] = _f32(dead)
+    streams[ROWN] = _f32(rowN)
+    streams[N0] = _f32(n0)
+    streams[SIG_T] = sig_t
+    streams[SIG_TM1] = sig_tm1
+    zero = jnp.zeros((T_pad, RC), jnp.float32)
+    streams = [zero if s is None else s for s in streams]
+    nrow = jnp.stack(streams, axis=1)                   # (T, NS, 128)
+
+    k16 = lambda a: _f32(a).reshape(T_pad, R, CK)
+    sigk = jnp.broadcast_to(sig_pad.T[:, :, None], (T_pad, R, CK))
+    sigkm = jnp.broadcast_to(sig_prev.T[:, :, None], (T_pad, R, CK))
+    kcol = jnp.stack(
+        [k16(plan.mu_k), k16(plan.c1_k), k16(plan.c2_k),
+         k16(plan.bcol_same), k16(plan.col_same), sigk, sigkm], axis=1)
+
+    s16 = lambda a: _f32(a).reshape(T_pad, R, ACK)
+    suc = jnp.stack(
+        [s16(plan.mu_suc), s16(plan.c1_suc), s16(plan.c2_suc),
+         s16(plan.bcol_suc), s16(plan.col_prec)], axis=1)
+
+    alw = plan.allowed.reshape(T_pad, RC, CK).astype(jnp.int8)
+    hd = (plan.hd1.astype(jnp.int32)
+          | (plan.hd2.astype(jnp.int32) << 4)
+          | (plan.hd1s.astype(jnp.int32) << 8)
+          | (plan.hd2s.astype(jnp.int32) << 12)
+          ).astype(jnp.int16).reshape(T_pad, RC, CK)
+    return NTCPacks(nrow, kcol, suc, alw, hd, T_pad)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers
+# ---------------------------------------------------------------------------
+
+def _expand16():
+    """(128, 16) one-hot: row m -> read m // 8 (exact in any precision)."""
+    m_io = jax.lax.broadcasted_iota(jnp.int32, (RC, R), 0)
+    r_io = jax.lax.broadcasted_iota(jnp.int32, (RC, R), 1)
+    return ((m_io // CN) == r_io).astype(jnp.float32)
+
+
+def _exp16(E, x16):
+    """(16, W) per-read rows -> (128, W) replicated over the CN sublanes."""
+    return jnp.dot(E, x16, preferred_element_type=jnp.float32,
+                   precision=PREC)
+
+
+def _row_gather(idx_col, blocks):
+    """Gather n-slot rows: idx_col (128, 1) target slot per row m (or -1);
+    blocks: list of (128, CK) states sharing idx. One one-hot matmul over
+    the lane-concatenated states; -inf in, -inf out (clamp + restore)."""
+    n_io = jax.lax.broadcasted_iota(jnp.int32, (RC, RC), 1).astype(jnp.float32)
+    base = ((jax.lax.broadcasted_iota(jnp.int32, (RC, RC), 0) // CN)
+            * CN).astype(jnp.float32)
+    oh = (n_io == base + idx_col).astype(jnp.float32)
+    xc = jnp.concatenate([jnp.maximum(b, NEG_BIG) for b in blocks], axis=1)
+    g = jnp.dot(oh, xc, preferred_element_type=jnp.float32, precision=PREC)
+    g = jnp.where(g <= NEG_THR, NEG_INF, g)
+    g = jnp.where(idx_col >= 0.0, g, NEG_INF)
+    return [g[:, k * CK:(k + 1) * CK] for k in range(len(blocks))]
+
+
+def _col_gather(srcs, idx_same16, idx_suc16):
+    """k-slot gathers for all reads: srcs = list of (128, CK) blocks; for
+    each read one (8*len, CK) @ (CK, CK+ACK) one-hot matmul against that
+    read's [same | successor] target indices. Returns
+    (list of (128, CK) same-gathers, list of (128, ACK) suc-gathers)."""
+    L = len(srcs)
+    j_same = jax.lax.broadcasted_iota(jnp.int32, (CK, CK), 0).astype(jnp.float32)
+    j_suc = jax.lax.broadcasted_iota(jnp.int32, (CK, ACK), 0).astype(jnp.float32)
+    parts_same = [[] for _ in range(L)]
+    parts_suc = [[] for _ in range(L)]
+    for r in range(R):
+        oh = jnp.concatenate(
+            [(j_same == idx_same16[r:r + 1, :]).astype(jnp.float32),
+             (j_suc == idx_suc16[r:r + 1, :]).astype(jnp.float32)], axis=1)
+        x_r = jnp.concatenate(
+            [jnp.maximum(s[r * CN:(r + 1) * CN], NEG_BIG) for s in srcs],
+            axis=0)
+        y = jnp.dot(x_r, oh, preferred_element_type=jnp.float32,
+                    precision=PREC)
+        dead_s = idx_same16[r:r + 1, :] < 0.0
+        dead_u = idx_suc16[r:r + 1, :] < 0.0
+        for k in range(L):
+            gs = y[k * CN:(k + 1) * CN, :CK]
+            gu = y[k * CN:(k + 1) * CN, CK:]
+            gs = jnp.where(gs <= NEG_THR, NEG_INF, gs)
+            gu = jnp.where(gu <= NEG_THR, NEG_INF, gu)
+            parts_same[k].append(jnp.where(dead_s, NEG_INF, gs))
+            parts_suc[k].append(jnp.where(dead_u, NEG_INF, gu))
+    same = [jnp.concatenate(p, axis=0) for p in parts_same]
+    suc = [jnp.concatenate(p, axis=0) for p in parts_suc]
+    return same, suc
+
+
+def _lse(terms):
+    """logsumexp over a list of (128, W) blocks (utils.logmath semantics)."""
+    m = terms[0]
+    for t in terms[1:]:
+        m = jnp.maximum(m, t)
+    finite = m > NEG_THR
+    m_safe = jnp.where(finite, m, 0.0)
+    s = jnp.exp(terms[0] - m_safe)
+    for t in terms[1:]:
+        s = s + jnp.exp(t - m_safe)
+    return jnp.where(finite, m_safe + jnp.log(s), m)
+
+
+def _first_match(cands):
+    """Running (max, first-index-attaining-max) over an ordered list."""
+    m = cands[0]
+    code = jnp.zeros(m.shape, jnp.int32)
+    for idx, c in enumerate(cands[1:], 1):
+        upd = c > m
+        m = jnp.maximum(m, c)
+        code = jnp.where(upd, idx, code)
+    return m, code
+
+
+def _roll_grp(x, sh, fill, up: bool):
+    """Shift by sh WITHIN each 8-row read group (up: row m gets m - sh)."""
+    if up:
+        out = pltpu.roll(x, sh, axis=0)
+        ok = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % CN) >= sh
+    else:
+        out = pltpu.roll(x, RC - sh, axis=0)
+        ok = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % CN) < CN - sh
+    return jnp.where(ok, out, fill)
+
+
+def _affine_chain(a, b, up: bool, maxplus: bool):
+    """Inclusive composition scan of log-affine maps v -> op(a, v + b)
+    within 8-row groups (up: low->high slot order, else high->low). The
+    doubling identity element is (a=-inf, b=0)."""
+    op = jnp.maximum if maxplus else jnp.logaddexp
+    for s in range(3):
+        sh = 1 << s
+        a_in = _roll_grp(a, sh, NEG_INF, up)
+        b_in = _roll_grp(b, sh, 0.0, up)
+        a = op(a, a_in + b)
+        b = b + b_in
+    return a
+
+
+def _unpack_hd(hd_i16):
+    hd = hd_i16.astype(jnp.int32)
+    f = lambda x: x.astype(jnp.float32)
+    return (f(hd & 0xF), f((hd >> 4) & 0xF),
+            f((hd >> 8) & 0xF), f((hd >> 12) & 0xF))
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (ref: NTC.cpp:500-578; XLA: ops/ntc_batch.ntc_backward_batch)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref, out_ref,
+                stA, stP, stS, stE, stI, *, C, nc, tl):
+    ci = pl.program_id(0)
+    chunk = nc - 1 - ci
+
+    @pl.when(ci == 0)
+    def _():
+        for st in (stA, stP, stS, stE, stI):
+            st[...] = jnp.full((RC, CK), NEG_INF, jnp.float32)
+
+    E = _expand16()
+
+    def body(i2, _):
+        i = C - 1 - i2
+        t = chunk * C + i
+        nT = jnp.transpose(nrow_ref[i])                 # (128, NS)
+        col = lambda s: nT[:, s:s + 1]
+        mu_n, c1_n, c2_n = col(MU_N), col(C1_N), col(C2_N)
+        mu_n2, c1_n2, c2_n2 = col(MU_N2), col(C1_N2), col(C2_N2)
+        n_pos = col(NPOS) > 0.5
+        n_lt = col(NLT) > 0.5
+        chup = col(CHAINUP) > 0.5
+        d01, d02 = col(D01), col(D02)
+        is_term = col(ISTERM) > 0.5
+        dead_r = col(DEAD) > 0.5
+        sig_t, sig_tm1 = col(SIG_T), col(SIG_TM1)
+
+        # boolean combines of broadcast (128,1) masks with full (128,128)
+        # masks hit Mosaic i1-relayout limits: combine as f32 products and
+        # compare once
+        alwf = alw_ref[i].astype(jnp.float32)
+        alw = alwf > 0.5
+        rowNalw = (col(ROWN) * alwf) > 0.5
+        hd1, hd2, hd1s, hd2s = _unpack_hd(hd_ref[i])
+
+        mu_k16 = kcol_ref[i, K_MU]
+        c1_k16 = kcol_ref[i, K_C1]
+        c2_k16 = kcol_ref[i, K_C2]
+        sg16 = kcol_ref[i, K_SIG][:, 0:1]
+        sg16m = kcol_ref[i, K_SIGM1][:, 0:1]
+        dk = sg16 - mu_k16
+        sck = _exp16(E, c1_k16 - c2_k16 * dk * dk)       # (128, CK)
+        dkm = sg16m - mu_k16
+        sck_m1 = _exp16(E, c1_k16 - c2_k16 * dkm * dkm)
+
+        d_n = sig_t - mu_n
+        scn = c1_n - c2_n * d_n * d_n
+        d_n2 = sig_t - mu_n2
+        scn2 = c1_n2 - c2_n2 * d_n2 * d_n2
+        sc1 = scn + sck - 2.0 * hd1
+        sc2 = scn2 + sck - 2.0 * hd2
+
+        gnsE, gnsP = _row_gather(col(BROW_SAME), [stE[...], stP[...]])
+        gnnS, gnnA = _row_gather(col(BROW_NEXT), [stS[...], stA[...]])
+
+        gk_same, gk_suc = _col_gather(
+            [gnsE, gnnS, gnsP, gnnA],
+            kcol_ref[i, K_BCS], suc_ref[i, S_BCS])
+        gskE, gnkS = gk_same[0], gk_same[1]
+        gspP, gnaA = gk_suc[2], gk_suc[3]
+
+        a_new = jnp.where(n_pos, gskE + sc1, NEG_INF)
+        p_new = jnp.logaddexp(
+            jnp.where(n_pos, gskE + tl["e2"] + sc1, NEG_INF),
+            jnp.where(n_lt, gnkS + tl["s1"] + sc2, NEG_INF),
+        )
+
+        mu_s16 = suc_ref[i, S_MU]
+        c1_s16 = suc_ref[i, S_C1]
+        c2_s16 = suc_ref[i, S_C2]
+        dsu = sg16 - mu_s16
+        scs = _exp16(E, c1_s16 - c2_s16 * dsu * dsu)     # (128, ACK)
+
+        base_s = jnp.where(n_pos, gskE + tl["e3"] + sc1, NEG_INF)
+        base_e = jnp.where(n_pos, gskE + tl["e4"] + sc1, NEG_INF)
+        gnkS2 = gnkS + sc2
+        s_terms = [base_s]
+        e_terms = [base_e]
+        i_terms = []
+        for ai in range(A):
+            scs_ai = scs[:, ai * CK:(ai + 1) * CK]
+            m1 = jnp.where(d01 != float(ai), 1.0, 0.0)
+            m2 = jnp.where(d02 != float(ai), 1.0, 0.0)
+            sc1s = scn + scs_ai - 2.0 * (hd1s + m1)
+            sc2s = scn2 + scs_ai - 2.0 * (hd2s + m2)
+            gspP_ai = jnp.where(
+                n_pos, gspP[:, ai * CK:(ai + 1) * CK] + sc1s, NEG_INF)
+            gnaA_ai = jnp.where(
+                n_lt, gnaA[:, ai * CK:(ai + 1) * CK] + sc2s, NEG_INF)
+            s_terms.append(gspP_ai + tl["p1"])
+            e_terms.append(gspP_ai + tl["p2"])
+            e_terms.append(gnaA_ai + tl["a1"])
+            i_terms.append(gspP_ai + tl["p3"])
+            i_terms.append(gnaA_ai + tl["a2"])
+        e_terms.append(jnp.where(n_lt, gnkS2 + tl["s2"], NEG_INF))
+        i_terms.append(jnp.where(n_lt, gnkS2 + tl["s3"], NEG_INF))
+        s_new = _lse(s_terms)
+        e_new = _lse(e_terms)
+        i_new = _lse(i_terms)
+
+        # same-t I chain (ref: NTC.cpp:565-572): high -> low slot order
+        d_nm1 = sig_tm1 - mu_n2
+        scn2_m1 = c1_n2 - c2_n2 * d_nm1 * d_nm1
+        sc_i = scn2_m1 + sck_m1 - 2.0 * hd2
+        ok_i = chup & (t > 0) & n_lt
+        iB = jnp.where(ok_i, tl["i2"] + sc_i, NEG_INF)
+        i_full = _affine_chain(i_new, iB, up=False, maxplus=False)
+        # e uses the UPDATED i of the slot above: i_below[m] = i_full[m+1]
+        i_below = _roll_grp(i_full, 1, NEG_INF, up=False)
+        e_new = jnp.logaddexp(
+            e_new, jnp.where(ok_i, i_below + tl["i1"] + sc_i, NEG_INF))
+        i_new = i_full
+
+        outs = []
+        termE = jnp.where(rowNalw, 0.0, NEG_INF)
+        for st_idx, v in ((A_ST, a_new), (P_ST, p_new), (S_ST, s_new),
+                          (E_ST, e_new), (I_ST, i_new)):
+            v = jnp.where(alw, v, NEG_INF)
+            term = termE if st_idx == E_ST else jnp.full_like(v, NEG_INF)
+            v = jnp.where(is_term, term, jnp.where(dead_r, NEG_INF, v))
+            outs.append(v)
+        stA[...], stP[...], stS[...], stE[...], stI[...] = outs
+        for st_idx, v in enumerate(outs):
+            out_ref[i, st_idx * RC:(st_idx + 1) * RC] = v
+        return 0
+
+    jax.lax.fori_loop(0, C, body, 0)
+
+
+def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
+    """(T_pad, 640, 128) f32 backward store."""
+    T_pad = packs.T_pad
+    C = C_BWD
+    assert T_pad % C == 0
+    nc = T_pad // C
+    tl = {k: np.float32(v) for k, v in trans_log.items()}
+    kernel = functools.partial(_bwd_kernel, C=C, nc=nc, tl=tl)
+    rev = lambda c: nc - 1 - c
+    out = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((C, NS, RC), lambda c: (rev(c), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NKS, R, CK), lambda c: (rev(c), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NSS, R, ACK), lambda c: (rev(c), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (rev(c), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (rev(c), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, 5 * RC, CK), lambda c: (rev(c), 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32) for _ in range(5)],
+        interpret=interpret,
+    )(packs.nrow, packs.kcol, packs.suc, packs.alw, packs.hd)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# posterior + viterbi forward kernel
+# (ref getBorders: NTC.cpp:595-669; XLA: ntc_posterior_viterbi_batch)
+# ---------------------------------------------------------------------------
+
+def _pv_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref, bwd_ref,
+               z_ref, lp_ref, ch_ref, apEf_ref, fwdEf_ref,
+               fA, fP, fS, fE, fI, vA, vP, vS, vE, vI, apEf, fwdEf,
+               *, C, tl):
+    ci = pl.program_id(0)
+
+    @pl.when(ci == 0)
+    def _():
+        for st in (fA, fP, fS, fE, fI, vA, vP, vS, vE, vI, apEf, fwdEf):
+            st[...] = jnp.full((RC, CK), NEG_INF, jnp.float32)
+
+    E = _expand16()
+    zcol = z_ref[...]                                    # (128, 1)
+
+    def body(i, _):
+        t = ci * C + i
+        nT = jnp.transpose(nrow_ref[i])
+        col = lambda s: nT[:, s:s + 1]
+        mu_n, c1_n, c2_n = col(MU_N), col(C1_N), col(C2_N)
+        is_term = col(ISTERM) > 0.5
+        sig_tm1 = col(SIG_TM1)
+
+        alwf = alw_ref[i].astype(jnp.float32)
+        ok = (col(NPOS) * alwf) > 0.5
+        cond = (col(CHAINF) * col(NPOS) * alwf) > 0.5
+        n0alw = (col(N0) * alwf) > 0.5
+        hd1, _, _, _ = _unpack_hd(hd_ref[i])
+
+        mu_k16 = kcol_ref[i, K_MU]
+        c1_k16 = kcol_ref[i, K_C1]
+        c2_k16 = kcol_ref[i, K_C2]
+        sg16m = kcol_ref[i, K_SIGM1][:, 0:1]
+        dkm = sg16m - mu_k16
+        sck = _exp16(E, c1_k16 - c2_k16 * dkm * dkm)
+
+        d_n = sig_tm1 - mu_n
+        scn = c1_n - c2_n * d_n * d_n
+        sc = scn + sck - 2.0 * hd1
+
+        init_col = jnp.where(n0alw, 0.0, NEG_INF)
+
+        # ---- forward column (ref fwd recurrences; XLA _fwd_column) ----
+        geP_E, geP_I, geP_P = _row_gather(
+            col(ROW_PREV), [fE[...], fI[...], fP[...]])
+        geS_A, geS_P, geS_S, geS_E, geS_I = _row_gather(
+            col(ROW_SAME), [fA[...], fP[...], fS[...], fE[...], fI[...]])
+        f_same, f_suc = _col_gather(
+            [geP_E, geP_I, geP_P, geS_A, geS_P, geS_S, geS_E, geS_I],
+            kcol_ref[i, K_CSF], suc_ref[i, S_CPF])
+
+        a_terms = []
+        p_terms = []
+        for ai in range(A):
+            sl = lambda g: g[:, ai * CK:(ai + 1) * CK]
+            a_terms += [sl(f_suc[0]) + tl["a1"], sl(f_suc[1]) + tl["a2"]]
+            p_terms += [sl(f_suc[5]) + tl["p1"], sl(f_suc[6]) + tl["p2"],
+                        sl(f_suc[7]) + tl["p3"]]
+        a_new = jnp.where(ok, _lse(a_terms) + sc, NEG_INF)
+        p_new = jnp.where(ok, _lse(p_terms) + sc, NEG_INF)
+        s_new = jnp.where(ok, _lse(
+            [f_same[2] + tl["s1"], f_same[0] + tl["s2"],
+             f_same[1] + tl["s3"]]) + sc, NEG_INF)
+        e_new = jnp.where(ok, _lse(
+            [f_same[3], f_same[4] + tl["e2"], f_same[5] + tl["e3"],
+             f_same[6] + tl["e4"]]) + sc, NEG_INF)
+
+        e_above = _roll_grp(e_new, 1, NEG_INF, up=True)
+        iA = jnp.where(cond, e_above + tl["i1"] + sc, NEG_INF)
+        iB = jnp.where(cond, tl["i2"] + sc, NEG_INF)
+        i_new = _affine_chain(iA, iB, up=True, maxplus=False)
+
+        fwd_cols = [a_new, p_new, s_new, e_new, i_new]
+        t0 = t == 0
+        fwd_cols = [
+            jnp.where(t0, init_col if st == E_ST else NEG_INF, v)
+            for st, v in enumerate(fwd_cols)
+        ]
+        fA[...], fP[...], fS[...], fE[...], fI[...] = fwd_cols
+
+        # ---- posteriors: lp = fwd + bwd - Z (overwrites the bwd row) ----
+        lps = []
+        for st in range(5):
+            bwd_st = bwd_ref[i, st * RC:(st + 1) * RC]
+            lp_st = fwd_cols[st] + bwd_st - zcol
+            lps.append(lp_st)
+            lp_ref[i, st * RC:(st + 1) * RC] = lp_st
+
+        # ---- viterbi over posteriors + first-match choices ----
+        aP_E, aP_I, aP_P = _row_gather(
+            col(ROW_PREV), [vE[...], vI[...], vP[...]])
+        aS_A, aS_P, aS_S, aS_E, aS_I = _row_gather(
+            col(ROW_SAME), [vA[...], vP[...], vS[...], vE[...], vI[...]])
+        v_same, v_suc = _col_gather(
+            [aP_E, aP_I, aP_P, aS_A, aS_P, aS_S, aS_E, aS_I],
+            kcol_ref[i, K_CSF], suc_ref[i, S_CPF])
+
+        a_cands = []
+        p_cands = []
+        for ai in range(A):
+            sl = lambda g: g[:, ai * CK:(ai + 1) * CK]
+            a_cands += [sl(v_suc[0]), sl(v_suc[1])]
+            p_cands += [sl(v_suc[6]), sl(v_suc[5]), sl(v_suc[7])]
+        a_max, ch_a = _first_match(a_cands)
+        p_max, ch_p = _first_match(p_cands)
+        s_max, ch_s = _first_match([v_same[0], v_same[2], v_same[1]])
+        e_max, ch_e = _first_match(
+            [v_same[6], v_same[3], v_same[5], v_same[4]])
+
+        va = jnp.where(ok, a_max + lps[A_ST], NEG_INF)
+        vp = jnp.where(ok, p_max + lps[P_ST], NEG_INF)
+        vs = jnp.where(ok, s_max + lps[S_ST], NEG_INF)
+        ve = jnp.where(ok, e_max + lps[E_ST], NEG_INF)
+
+        e_above_v = _roll_grp(ve, 1, NEG_INF, up=True)
+        lpI = lps[I_ST]
+        viA = jnp.where(cond, e_above_v + lpI, NEG_INF)
+        viB = jnp.where(cond, lpI, NEG_INF)
+        vi = _affine_chain(viA, viB, up=True, maxplus=True)
+        i_prev = _roll_grp(vi, 1, NEG_INF, up=True)
+        ch_i = jnp.where(e_above_v >= i_prev, 0, 1)
+
+        ap_cols = [va, vp, vs, ve, vi]
+        ap_cols = [
+            jnp.where(t0, init_col if st == E_ST else NEG_INF, v)
+            for st, v in enumerate(ap_cols)
+        ]
+        vA[...], vP[...], vS[...], vE[...], vI[...] = ap_cols
+
+        packed = (ch_e | (ch_a << 2) | (ch_p << 5) | (ch_s << 9)
+                  | (ch_i << 11))
+        packed = jnp.where(t0, 0, packed)
+        ch_ref[i] = packed
+
+        apEf[...] = jnp.where(is_term, ap_cols[E_ST], apEf[...])
+        fwdEf[...] = jnp.where(is_term, fwd_cols[E_ST], fwdEf[...])
+        return 0
+
+    jax.lax.fori_loop(0, C, body, 0)
+    apEf_ref[...] = apEf[...]
+    fwdEf_ref[...] = fwdEf[...]
+
+
+def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
+                                 interpret: bool = False):
+    """Returns (lp (T, 640, 128) — written over `bwd`'s buffer, choices
+    (T, 128, 128) int32, apE_final (128, 128), fwdE_final (128, 128))."""
+    T_pad = packs.T_pad
+    C = C_PV
+    assert T_pad % C == 0
+    nc = T_pad // C
+    tl = {k: np.float32(v) for k, v in trans_log.items()}
+    kernel = functools.partial(_pv_kernel, C=C, tl=tl)
+    zcol = jnp.repeat(Z_norm.astype(jnp.float32), CN)[:, None]  # (128, 1)
+    lp, ch, apEf, fwdEf = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((C, NS, RC), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NKS, R, CK), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NSS, R, ACK), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 5 * RC, CK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RC, 1), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((C, 5 * RC, CK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RC, CK), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RC, CK), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, RC, CK), jnp.int32),
+            jax.ShapeDtypeStruct((RC, CK), jnp.float32),
+            jax.ShapeDtypeStruct((RC, CK), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32)
+                        for _ in range(12)],
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(packs.nrow, packs.kcol, packs.suc, packs.alw, packs.hd, bwd, zcol)
+    return lp, ch, apEf, fwdEf

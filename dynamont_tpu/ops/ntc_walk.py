@@ -56,10 +56,13 @@ def start_slots(plan, dims, apE_final, N_r, T_r):
 
 def ntc_walk_batch(plan, dims, lp, choices, N_r, T_r, i0, j0, k0,
                    valid_start, K: int, kmer_size: int, S_max: int,
-                   max_i_chain: int = 2):
+                   max_i_chain: int = 2, kernel_layout: bool = False):
     """Replay the traceback for a whole bucket on device.
 
-    lp/choices: flat (T, R, 5*CN*CK) / (T, R, CN*CK) from the Viterbi scan.
+    lp/choices: flat (T, R, 5*CN*CK) / (T, R, CN*CK) from the Viterbi scan
+    — or, with kernel_layout=True, the Mosaic stores (T, 5*R*CN, 128) /
+    (T, R*CN, 128) from ops/ntc_pallas (requires CK == 128; row layout
+    [state, read, n-slot] on sublanes, k-slot on lanes).
     Per column the walk does up to `max_i_chain` in-column I-steps before
     the t-step (an I-chain can theoretically span CN-1 slots but insertion
     runs longer than 2 are vanishingly rare); a longer chain sets the
@@ -70,16 +73,23 @@ def ntc_walk_batch(plan, dims, lp, choices, N_r, T_r, i0, j0, k0,
     """
     T_pad = plan.cand_n.shape[0]
     R, CN, CK, A = dims
+    if kernel_layout:
+        assert CK == 128, CK
     Kdiv = K // A
     half = kmer_size // 2
     NCK = CN * CK
     n_micro = min(CN - 1, max_i_chain) + 1
+    roff = jnp.arange(R, dtype=jnp.int32) * NCK
 
     def step(carry, xs):
         active, state, i, j, k, n, seg, stuck = carry
         lp_flat, ch_flat, rs_t, rp_t, cs_t, cp_flat, t = xs
-        lp_flat = lp_flat.reshape(R, 5 * NCK)
-        ch_flat = ch_flat.reshape(R, NCK)
+        if kernel_layout:
+            lp_vec = lp_flat.reshape(-1)     # (5*R*CN*128,)
+            ch_vec = ch_flat.reshape(-1)     # (R*CN*128,)
+        else:
+            lp_flat = lp_flat.reshape(R, 5 * NCK)
+            ch_flat = ch_flat.reshape(R, NCK)
         rs_t = rs_t.reshape(R, CN)
         rp_t = rp_t.reshape(R, CN)
         cs_t = cs_t.reshape(R, CK)
@@ -98,10 +108,17 @@ def ntc_walk_batch(plan, dims, lp, choices, N_r, T_r, i0, j0, k0,
         did_t = jnp.zeros((R,), bool)
         for _ in range(n_micro):
             cell = i * CK + j
-            ch = jnp.take_along_axis(ch_flat, cell[:, None], axis=1)[:, 0]
-            lp_state = jnp.take_along_axis(
-                lp_flat, (state * NCK + cell)[:, None], axis=1
-            )[:, 0]
+            if kernel_layout:
+                # [state, read, n-slot, k-slot] store: global flat index
+                cellg = roff + cell
+                ch = jnp.take(ch_vec, cellg)
+                lp_state = jnp.take(lp_vec, state * (R * NCK) + cellg)
+            else:
+                ch = jnp.take_along_axis(
+                    ch_flat, cell[:, None], axis=1)[:, 0]
+                lp_state = jnp.take_along_axis(
+                    lp_flat, (state * NCK + cell)[:, None], axis=1
+                )[:, 0]
 
             t_pos = t >= 1  # reference `while t:` exits at t == 0
             is_I = active & (state == I_ST) & t_pos

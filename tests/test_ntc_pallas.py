@@ -1,0 +1,128 @@
+"""Mosaic NTC kernels vs the XLA scan path (interpret mode on CPU).
+
+The kernels (ops/ntc_pallas) are the production TPU path for the NTC
+scans; on TPU they were validated bit-for-bit on choices/finals and to
+fp32 reduction noise (~2e-4) on the stores. This suite runs the same
+comparison in Pallas interpret mode so CI covers the kernel bodies.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamont_tpu.constants import NT_TRANSITIONS, NTK_TRANSITIONS
+from dynamont_tpu.models.ntc_batch import round_up
+from dynamont_tpu.models.registry import load_model_for_pore
+from dynamont_tpu.ops import ntc_batch as nb
+from dynamont_tpu.ops import ntc_pallas as npk
+from dynamont_tpu.utils.kmer import seq_to_kmer_ids
+
+from tests.synthetic import make_read
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = load_model_for_pore("rna002")
+    pore = "rna002"
+    trans_log = {k: math.log(v) for k, v in NTK_TRANSITIONS[pore].items()}
+    nt = NT_TRANSITIONS[pore]
+    log_ppm, log_ppe = math.log(nt["m1"]), math.log(nt["e2"])
+    means, c1, c2 = model.score_params()
+    A, S = model.alphabet_size, model.kmer_size
+    dtype = jnp.float32
+    CN, CK0 = npk.CN, npk.CK - npk.CN
+
+    sigs, kids = [], []
+    for s in range(npk.R):
+        sig, read = make_read(model, n_bases=20 + (s % 3) * 5, seed=s)
+        sigs.append(sig)
+        kids.append(np.asarray(seq_to_kmer_ids(read, S, A), np.int32))
+    T_arr = np.array([len(s) + 1 for s in sigs], np.int32)
+    N_arr = np.array([len(k) + 1 for k in kids], np.int32)
+    T_pad = round_up(int(T_arr.max()), npk.C_BWD * npk.C_PV)
+    N2 = round_up(int(N_arr.max()), 16)
+    sigp = np.zeros((npk.R, T_pad - 1), np.float32)
+    kidp = np.zeros((npk.R, N2 - 1), np.int32)
+    for j in range(npk.R):
+        sigp[j, : T_arr[j] - 1] = sigs[j]
+        kidp[j, : N_arr[j] - 1] = kids[j]
+
+    mt = jnp.asarray(means, dtype)
+    sdt = jnp.asarray(model.stdevs, dtype)
+    c1t = jnp.asarray(c1, dtype)
+    c2t = jnp.asarray(c2, dtype)
+    sigj, kidj = jnp.asarray(sigp), jnp.asarray(kidp)
+    T_r, N_r = jnp.asarray(T_arr), jnp.asarray(N_arr)
+
+    pn = nb.pre_tn_batch(sigj, kidj, N_r, T_r, mt, sdt, log_ppm, log_ppe,
+                         CN, dtype)
+    pk = nb.pre_tk_batch(sigj, T_r, mt, c1t, c2t, log_ppm, log_ppe, A,
+                         CK0, dtype)
+    plan, dims = nb.build_plan_batch(pn.cand, pn.cnt, pk.cand, pk.cnt,
+                                     kidj, N_r, mt, c1t, c2t, A, S, dtype)
+    sigd = sigj.astype(dtype)
+    bwd_x = nb.ntc_backward_batch(plan, dims, sigd, trans_log, N_r, T_r,
+                                  S, dtype)
+    Zb_x = nb.ntc_zb_batch(plan, dims, bwd_x[0])
+    lp_x, ch_x, apE_x, fwdE_x = nb.ntc_posterior_viterbi_batch(
+        plan, dims, sigd, bwd_x, Zb_x, trans_log, N_r, T_r, S, dtype)
+    packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r)
+    return dict(plan=plan, dims=dims, packs=packs, trans_log=trans_log,
+                bwd_x=np.asarray(bwd_x), Zb_x=np.asarray(Zb_x),
+                lp_x=np.asarray(lp_x), ch_x=np.asarray(ch_x),
+                apE_x=np.asarray(apE_x), fwdE_x=np.asarray(fwdE_x))
+
+
+def _to_kernel_layout(x, nst):
+    """(T, R, nst*CN*CKm) flat XLA store -> (T, nst*128, 128) + -inf pads."""
+    T_ = x.shape[0]
+    CKm = npk.CK
+    x = x.reshape(T_, npk.R, nst, npk.CN, CKm).transpose(0, 2, 1, 3, 4)
+    return x.reshape(T_, nst * npk.RC, CKm)
+
+
+def _cmp(a, b, tol=5e-4):
+    both_inf = np.isneginf(a) & np.isneginf(b)
+    d = np.abs(np.where(both_inf, 0.0, a - b))
+    assert np.isfinite(d).all(), "inf/finite mismatch"
+    assert d.max() < tol, d.max()
+
+
+@pytest.mark.slow
+def test_backward_kernel_matches_scan(setup):
+    s = setup
+    bwd_p = np.asarray(
+        npk.ntc_backward_pallas(s["packs"], s["trans_log"], interpret=True))
+    bx = _to_kernel_layout(s["bwd_x"], 5)
+    _cmp(bx, bwd_p)
+    bwd0 = (bwd_p[0].reshape(5, npk.R, npk.CN, npk.CK)
+            .transpose(1, 0, 2, 3).reshape(npk.R, -1))
+    Zb_p = np.asarray(nb.ntc_zb_batch(s["plan"], s["dims"], jnp.asarray(bwd0)))
+    assert np.abs(Zb_p - s["Zb_x"]).max() < 1e-4
+
+
+@pytest.mark.slow
+def test_posterior_viterbi_kernel_matches_scan(setup):
+    s = setup
+    bwd_p = npk.ntc_backward_pallas(s["packs"], s["trans_log"],
+                                    interpret=True)
+    lp_p, ch_p, apE_p, fwdE_p = jax.tree_util.tree_map(
+        np.asarray,
+        npk.ntc_posterior_viterbi_pallas(
+            s["packs"], bwd_p, jnp.asarray(s["Zb_x"]), s["trans_log"],
+            interpret=True))
+    _cmp(_to_kernel_layout(s["lp_x"], 5), lp_p)
+    _cmp(_to_kernel_layout(s["apE_x"].reshape(1, npk.R, -1), 1)[0],
+         apE_p)
+    _cmp(_to_kernel_layout(s["fwdE_x"].reshape(1, npk.R, -1), 1)[0],
+         fwdE_p)
+    # choices must agree wherever any state is live (walk-visited cells)
+    chx = _to_kernel_layout(
+        s["ch_x"].reshape(s["ch_x"].shape[0], npk.R, -1).astype(np.int32), 1)
+    lx = _to_kernel_layout(s["lp_x"], 5)
+    live = (np.isfinite(lx) & (lx > -1e30)).reshape(
+        lx.shape[0], 5, npk.RC, npk.CK).any(axis=1)
+    assert ((chx != ch_p) & live).sum() == 0
