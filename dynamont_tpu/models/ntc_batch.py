@@ -58,10 +58,11 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
     K = model.num_kmers
 
     @functools.partial(
-        jax.jit, static_argnames=("CN", "CK0", "S_max", "use_pallas")
+        jax.jit,
+        static_argnames=("CN", "CK0", "S_max", "use_pallas", "interpret"),
     )
     def run(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a, CN, CK0, S_max,
-            use_pallas=False):
+            use_pallas=False, interpret=False):
         pn = nb.pre_tn_batch(
             sig, kmer_ids, N_r, T_r, mu, sd, log_ppm, log_ppe, CN, dtype
         )
@@ -80,12 +81,13 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
 
             R = dims[0]
             packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r)
-            bwd = npk.ntc_backward_pallas(packs, trans_log)
+            bwd = npk.ntc_backward_pallas(packs, trans_log,
+                                          interpret=interpret)
             bwd0 = (bwd[0].reshape(5, R, npk.CN, npk.CK)
                     .transpose(1, 0, 2, 3).reshape(R, -1))
             Zb3 = nb.ntc_zb_batch(plan, dims, bwd0)
             lp, choices, apEf, fwdEf = npk.ntc_posterior_viterbi_pallas(
-                packs, bwd, Zb3, trans_log
+                packs, bwd, Zb3, trans_log, interpret=interpret
             )
             apE_final = apEf.reshape(R, npk.CN, npk.CK)
             fwdE_final = fwdEf.reshape(R, npk.CN, npk.CK)
@@ -100,10 +102,18 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
                 )
         Zf3 = nb.ntc_zf_batch(plan, dims, fwdE_final, N_r, T_r)
         i0, j0, k0, valid = nw.start_slots(plan, dims, apE_final, N_r, T_r)
-        seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = nw.ntc_walk_batch(
-            plan, dims, lp, choices, N_r, T_r, i0, j0, k0, valid, K, S,
-            S_max, kernel_layout=use_pallas,
-        )
+        if use_pallas:
+            seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = \
+                npk.ntc_walk_pallas(
+                    packs, lp, choices, i0, j0, k0, valid, N_r, T_r,
+                    K, S, S_max, interpret=interpret,
+                )
+        else:
+            seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = \
+                nw.ntc_walk_batch(
+                    plan, dims, lp, choices, N_r, T_r, i0, j0, k0, valid,
+                    K, S, S_max,
+                )
         return dict(
             Zf_tn=pn.Zf, Zb_tn=pn.Zb, ovf_tn=pn.overflow,
             Zf_tk=pk.Zf, Zb_tk=pk.Zb, ovf_tk=pk.overflow,
@@ -113,9 +123,10 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
         )
 
     def call(sig, kmer_ids, T_r, N_r, CN: int, CK0: int, S_max: int,
-             use_pallas: bool = False):
+             use_pallas: bool = False, interpret: bool = False):
         return run(sig, kmer_ids, T_r, N_r, means_t, sd_t, c1_t, c2_t,
-                   CN=CN, CK0=CK0, S_max=S_max, use_pallas=use_pallas)
+                   CN=CN, CK0=CK0, S_max=S_max, use_pallas=use_pallas,
+                   interpret=interpret)
 
     return call
 
@@ -140,6 +151,7 @@ class NTCBatchEngine:
                            # lanes regardless, so 112 + 8 = 120 is free
         fallback: bool = True,
         pallas: bool | None = None,  # None = auto (TPU + fp32)
+        pallas_interpret: bool = False,  # CI: run kernels in interpret mode
     ):
         if model.kmer_size > 5:
             # documented 9-mer fallback: NTC runs on the reduced 5-mer
@@ -175,6 +187,7 @@ class NTCBatchEngine:
             cap_n, cap_k = 8, 120
             batch_size = min(batch_size, 16)
         self.pallas = pallas
+        self.pallas_interpret = pallas_interpret
         self.cap_n = cap_n
         self.cap_k = cap_k
         self.fallback = fallback
@@ -254,7 +267,7 @@ class NTCBatchEngine:
         res = self._fn(
             jnp.asarray(sig), jnp.asarray(kid), jnp.asarray(T_arr),
             jnp.asarray(N_arr), CN=self.cap_n, CK0=self.cap_k, S_max=S_max,
-            use_pallas=self.pallas,
+            use_pallas=self.pallas, interpret=self.pallas_interpret,
         )
         return gidx, T_arr, N_arr, res
 

@@ -654,3 +654,246 @@ def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
         interpret=interpret,
     )(packs.nrow, packs.kcol, packs.suc, packs.alw, packs.hd, bwd, zcol)
     return lp, ch, apEf, fwdEf
+
+
+# ---------------------------------------------------------------------------
+# traceback walk kernel (ref: NTC.cpp:691-904; XLA: ops/ntc_walk)
+# ---------------------------------------------------------------------------
+#
+# The XLA walk scan replays ~300 HLO ops per t step (3 unrolled micro-ops
+# of gather + choice decode), i.e. seconds per bucket of pure dispatch
+# overhead. Here each read is one SUBLANE of (16, 1) state vectors; the
+# per-cell loads become one-hot row selections against the streamed lp /
+# choice rows (value * one-hot matmul / mask-reduce, exact for 0/1
+# weights), and the whole column's micro-ops run on-core. Records are
+# written as (T, n_micro, 16, 8) f32 lanes [prob, p_seg, emit, state,
+# basepos, start, k, e_seg] — every value is a small int or a probability,
+# exact in f32 — and reduced by ops/ntc_walk.finish_records outside.
+
+C_WK = 8
+N_MICRO = 3          # 1 t-step + up to 2 in-column I-steps (ntc_walk)
+NREC = 8             # record fields per micro-op
+# start-pack rows
+SP_I0, SP_J0, SP_K0, SP_VALID, SP_NM1, SP_TM1 = 0, 1, 2, 3, 4, 5
+# walk-state scratch columns
+W_ACT, W_STATE, W_I, W_J, W_K, W_N, W_SEG, W_STUCK = 0, 1, 2, 3, 4, 5, 6, 7
+
+
+def _walk_kernel(nrow_ref, kcol_ref, suc_ref, lp_ref, ch_ref, sp_ref,
+                 rec_ref, fin_ref, st, *, C, nc, Kdiv, half, S_max):
+    ci = pl.program_id(0)
+    chunk = nc - 1 - ci
+
+    @pl.when(ci == 0)
+    def _():
+        st[...] = jnp.zeros((R, 16), jnp.float32)
+
+    r_col = jax.lax.broadcasted_iota(jnp.float32, (R, 1), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.float32, (R, CK), 1)
+    lane640 = jax.lax.broadcasted_iota(jnp.float32, (R, 5 * RC), 1)
+    lane512 = jax.lax.broadcasted_iota(jnp.float32, (R, ACK), 1)
+    i0c = sp_ref[SP_I0][:, None]
+    j0c = sp_ref[SP_J0][:, None]
+    k0c = sp_ref[SP_K0][:, None]
+    valid0 = sp_ref[SP_VALID][:, None] > 0.5
+    nm1 = sp_ref[SP_NM1][:, None]
+    tm1 = sp_ref[SP_TM1][:, None]
+    sel = lambda w, oh: jnp.sum(w * oh, axis=1, keepdims=True)
+
+    def body(i2, _):
+        i = C - 1 - i2
+        t = (chunk * C + i).astype(jnp.float32)
+        lp_t = jnp.maximum(lp_ref[i], NEG_BIG)          # (640, 128)
+        ch_t = ch_ref[i].astype(jnp.float32)            # (128, 128) < 2^13
+        nr = nrow_ref[i]                                # (NS, 128)
+        rs_row = nr[ROW_SAME][None, :]
+        rp_row = nr[ROW_PREV][None, :]
+        cs_row = kcol_ref[i, K_CSF]                     # (16, CK)
+        cp_row = suc_ref[i, S_CPF]                      # (16, ACK)
+
+        active = st[:, W_ACT:W_ACT + 1] > 0.5
+        state = st[:, W_STATE:W_STATE + 1]
+        si = st[:, W_I:W_I + 1]
+        sj = st[:, W_J:W_J + 1]
+        sk = st[:, W_K:W_K + 1]
+        sn = st[:, W_N:W_N + 1]
+        seg = st[:, W_SEG:W_SEG + 1]
+        stuck = st[:, W_STUCK:W_STUCK + 1] > 0.5
+
+        act_now = (t == tm1) & valid0
+        active = active | act_now
+        state = jnp.where(act_now, float(E_ST), state)
+        si = jnp.where(act_now, i0c, si)
+        sj = jnp.where(act_now, j0c, sj)
+        sk = jnp.where(act_now, k0c, sk)
+        sn = jnp.where(act_now, nm1, sn)
+        seg = jnp.where(act_now, 0.0, seg)
+        t1 = t == 1.0
+        t_pos = t >= 1.0
+
+        did_t = jnp.zeros((R, 1), bool)
+        for m in range(N_MICRO):
+            # cell loads: one-hot row select per read, lane select via mask
+            Vj = (lane128 == sj).astype(jnp.float32)
+            U1 = (lane640 == state * RC + CN * r_col + si).astype(
+                jnp.float32)
+            P = jnp.dot(U1, lp_t, preferred_element_type=jnp.float32,
+                        precision=PREC)
+            lp_state = sel(P, Vj)
+            lp_state = jnp.where(lp_state <= NEG_THR, NEG_INF, lp_state)
+            U2 = (lane128 == CN * r_col + si).astype(jnp.float32)
+            Pc = jnp.dot(U2, ch_t, preferred_element_type=jnp.float32,
+                         precision=PREC)
+            ch = sel(Pc, Vj).astype(jnp.int32)
+
+            is_I = active & (state == float(I_ST)) & t_pos
+            i_break = is_I & (sn == 1.0)
+            i_go = is_I & ~i_break
+            tstep = active & (state != float(I_ST)) & (~did_t) & t_pos
+            is_A = state == float(A_ST)
+            is_P = state == float(P_ST)
+            is_S = state == float(S_ST)
+            is_E = state == float(E_ST)
+            brk = tstep & t1 & (
+                is_E | is_P | ((is_A | is_S) & (sn == 1.0))
+            )
+            go = tstep & ~brk
+            emit_break = brk & (is_E | is_A | is_P)   # S break: no emit
+            emit_go = go & (is_A | is_P)
+            emit = emit_break | emit_go
+
+            prob = jnp.where(i_go | go, jnp.exp(lp_state), 0.0)
+            p_seg = jnp.where(i_go | go, seg, float(S_max))
+            e_state = jnp.where(is_P, 1.0, 0.0)
+            e_bp = jnp.where(emit_break, float(half), sn - 1.0 + half)
+            e_start = jnp.where(emit_break, 0.0, t - 1.0)
+            e_seg = jnp.where(emit, seg, float(S_max))
+            rec_ref[i, m] = jnp.concatenate(
+                [prob, p_seg, emit.astype(jnp.float32), e_state, e_bp,
+                 e_start, sk, e_seg], axis=1)
+
+            # choice decode (packing: ntc_posterior_viterbi kernels)
+            chE = (ch & 3).astype(jnp.float32)
+            chA = (ch >> 2) & 7
+            chP = ((ch >> 5) & 15).astype(jnp.float32)
+            chS = ((ch >> 9) & 3).astype(jnp.float32)
+            chI = ((ch >> 11) & 1).astype(jnp.float32)
+            rs = sel(rs_row * U2, jnp.ones((R, 1), jnp.float32))
+            rp = sel(rp_row * U2, jnp.ones((R, 1), jnp.float32))
+            cs = sel(cs_row, Vj)
+            chAf = chA.astype(jnp.float32)
+            ai = jnp.where(is_A, jnp.floor(chAf / 2.0),
+                           jnp.floor(chP / 3.0))
+            # col_prec is A-MAJOR flat (see ntc_batch._build_plan_one)
+            Vai = (lane512 == ai * CK + sj).astype(jnp.float32)
+            cpa = sel(cp_row, Vai)
+            stE = jnp.where(
+                chE == 0.0, float(E_ST),
+                jnp.where(chE == 1.0, float(A_ST),
+                          jnp.where(chE == 2.0, float(S_ST), float(P_ST))),
+            )
+            odd_A = chAf - 2.0 * jnp.floor(chAf / 2.0)
+            stA = jnp.where(odd_A == 0.0, float(E_ST), float(I_ST))
+            m3 = chP - ai * 3.0
+            stP = jnp.where(m3 == 0.0, float(E_ST),
+                            jnp.where(m3 == 1.0, float(S_ST), float(I_ST)))
+            stS = jnp.where(chS == 0.0, float(E_ST),
+                            jnp.where(chS == 1.0, float(P_ST), float(I_ST)))
+            stI = jnp.where(chI == 0.0, float(E_ST), float(I_ST))
+            k_prec = jnp.floor(sk / A) + ai * Kdiv
+
+            st_go = jnp.where(
+                is_E, stE, jnp.where(is_A, stA, jnp.where(is_P, stP, stS))
+            )
+            i_go_slot = jnp.where(is_E | is_P, rs, rp)
+            j_go_slot = jnp.where(is_E | is_S, cs, cpa)
+            k_go = jnp.where(is_A | is_P, k_prec, sk)
+            n_go = jnp.where(is_A | is_S, sn - 1.0, sn)
+
+            state = jnp.where(i_go, stI, jnp.where(go, st_go, state))
+            si = jnp.clip(
+                jnp.where(i_go, si - 1.0, jnp.where(go, i_go_slot, si)),
+                0.0, CN - 1.0)
+            sj = jnp.clip(jnp.where(go, j_go_slot, sj), 0.0, CK - 1.0)
+            sk = jnp.where(go, k_go, sk)
+            sn = jnp.where(i_go, sn - 1.0, jnp.where(go, n_go, sn))
+            seg = seg + jnp.where(emit, 1.0, 0.0)
+            active = active & ~(i_break | brk)
+            did_t = did_t | go | brk
+
+        stuck = stuck | (active & ~did_t & t_pos)
+        cols = [active, state, si, sj, sk, sn, seg, stuck]
+        out = jnp.concatenate(
+            [c.astype(jnp.float32) for c in cols]
+            + [jnp.zeros((R, 16 - len(cols)), jnp.float32)], axis=1)
+        st[...] = out
+        return 0
+
+    jax.lax.fori_loop(0, C, body, 0)
+    fin_ref[...] = st[...]
+
+
+def ntc_walk_pallas(packs: NTCPacks, lp, choices, i0, j0, k0, valid_start,
+                    N_r, T_r, K: int, kmer_size: int, S_max: int,
+                    interpret: bool = False):
+    """Mosaic traceback walk + XLA finish. Same contract as
+    ops/ntc_walk.ntc_walk_batch with kernel_layout=True."""
+    from dynamont_tpu.ops.ntc_walk import finish_records
+
+    T_pad = packs.T_pad
+    C = C_WK
+    assert T_pad % C == 0
+    nc = T_pad // C
+    sp = jnp.stack([
+        _f32(i0), _f32(j0), _f32(k0), _f32(valid_start),
+        _f32(N_r - 1), _f32(T_r - 1),
+        jnp.zeros((R,), jnp.float32), jnp.zeros((R,), jnp.float32),
+    ], axis=0)                                           # (8, 16)
+    kernel = functools.partial(
+        _walk_kernel, C=C, nc=nc, Kdiv=K // A, half=kmer_size // 2,
+        S_max=S_max)
+    rev = lambda c: (nc - 1 - c, 0, 0, 0)
+    rec, fin = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((C, NS, RC), lambda c: (nc - 1 - c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NKS, R, CK), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NSS, R, ACK), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 5 * RC, CK), lambda c: (nc - 1 - c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (nc - 1 - c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, R), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((C, N_MICRO, R, NREC), rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 16), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T_pad, N_MICRO, R, NREC), jnp.float32),
+            jax.ShapeDtypeStruct((R, 16), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((R, 16), jnp.float32)],
+        interpret=interpret,
+    )(packs.nrow, packs.kcol, packs.suc, lp, choices, sp)
+
+    fld = lambda f, dt: (rec[..., f].transpose(2, 0, 1)
+                         .reshape(R, T_pad * N_MICRO).astype(dt))
+    probs = fld(0, jnp.float32)
+    p_seg = fld(1, jnp.int32)
+    e_state = fld(3, jnp.int32)
+    e_bp = fld(4, jnp.int32)
+    e_start = fld(5, jnp.int32)
+    e_k = fld(6, jnp.int32)
+    e_seg = fld(7, jnp.int32)
+    st_a, bp_a, start_a, k_a, med = jax.vmap(
+        lambda *r: finish_records(*r, S_max=S_max)
+    )(probs, p_seg, e_state, e_bp, e_start, e_k, e_seg)
+    seg_cnt = fin[:, W_SEG].astype(jnp.int32)
+    stuck = fin[:, W_STUCK] > 0.5
+    return seg_cnt, st_a, bp_a, start_a, k_a, med, (seg_cnt > S_max) | stuck

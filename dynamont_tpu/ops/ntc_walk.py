@@ -213,29 +213,36 @@ def ntc_walk_batch(plan, dims, lp, choices, N_r, T_r, i0, j0, k0,
     probs, p_seg, emit, e_state, e_bp, e_start, e_k, e_seg = (
         jnp.moveaxis(o, 2, 0).reshape(R, -1) for o in outs
     )
-
-    def finish(probs, p_seg, emit, e_state, e_bp, e_start, e_k, e_seg):
-        M = probs.shape[0]
-        sc = lambda vals: jnp.zeros((S_max + 1,), vals.dtype).at[e_seg].set(
-            vals, mode="drop"
-        )[:S_max]
-        st_a = sc(e_state)
-        bp_a = sc(e_bp)
-        start_a = sc(e_start)
-        k_a = sc(e_k)
-        pv = jnp.where(p_seg < S_max, probs, jnp.inf)
-        sk, sp = jax.lax.sort((p_seg, pv), num_keys=2)
-        counts = jnp.zeros((S_max + 1,), jnp.int32).at[p_seg].add(
-            1, mode="drop"
-        )[:S_max]
-        offsets = jnp.cumsum(counts) - counts
-        lo = jnp.clip(offsets + (counts - 1) // 2, 0, M - 1)
-        hi = jnp.clip(offsets + counts // 2, 0, M - 1)
-        med = 0.5 * (sp[lo] + sp[hi])
-        med = jnp.where(counts > 0, med, 0.0)
-        return st_a, bp_a, start_a, k_a, med
-
-    st_a, bp_a, start_a, k_a, med = jax.vmap(finish)(
-        probs, p_seg, emit, e_state, e_bp, e_start, e_k, e_seg
-    )
+    st_a, bp_a, start_a, k_a, med = jax.vmap(
+        lambda *r: finish_records(*r, S_max=S_max)
+    )(probs, p_seg, e_state, e_bp, e_start, e_k, e_seg)
     return seg_cnt, st_a, bp_a, start_a, k_a, med, (seg_cnt > S_max) | stuck
+
+
+def finish_records(probs, p_seg, e_state, e_bp, e_start, e_k, e_seg, *,
+                   S_max: int):
+    """Per-read segment summaries from tagged walk records (1D arrays).
+
+    Emission records (one per segment, tagged e_seg; S_max = none) carry
+    state/basepos/start/polish-k; probability records (tagged p_seg) are
+    grouped and reduced to the segment's median via one 2-key sort
+    (ref computes the same median on the host, NTC.cpp:718-723)."""
+    M = probs.shape[0]
+    sc = lambda vals: jnp.zeros((S_max + 1,), vals.dtype).at[e_seg].set(
+        vals, mode="drop"
+    )[:S_max]
+    st_a = sc(e_state)
+    bp_a = sc(e_bp)
+    start_a = sc(e_start)
+    k_a = sc(e_k)
+    pv = jnp.where(p_seg < S_max, probs, jnp.inf)
+    sk, sp = jax.lax.sort((p_seg, pv), num_keys=2)
+    counts = jnp.zeros((S_max + 1,), jnp.int32).at[p_seg].add(
+        1, mode="drop"
+    )[:S_max]
+    offsets = jnp.cumsum(counts) - counts
+    lo = jnp.clip(offsets + (counts - 1) // 2, 0, M - 1)
+    hi = jnp.clip(offsets + counts // 2, 0, M - 1)
+    med = 0.5 * (sp[lo] + sp[hi])
+    med = jnp.where(counts > 0, med, 0.0)
+    return st_a, bp_a, start_a, k_a, med

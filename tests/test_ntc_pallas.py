@@ -73,7 +73,9 @@ def setup():
     return dict(plan=plan, dims=dims, packs=packs, trans_log=trans_log,
                 bwd_x=np.asarray(bwd_x), Zb_x=np.asarray(Zb_x),
                 lp_x=np.asarray(lp_x), ch_x=np.asarray(ch_x),
-                apE_x=np.asarray(apE_x), fwdE_x=np.asarray(fwdE_x))
+                apE_x=np.asarray(apE_x), fwdE_x=np.asarray(fwdE_x),
+                N_r=N_r, T_r=T_r, N2=N2,
+                K=model.num_kmers, S=S)
 
 
 def _to_kernel_layout(x, nst):
@@ -126,3 +128,57 @@ def test_posterior_viterbi_kernel_matches_scan(setup):
     live = (np.isfinite(lx) & (lx > -1e30)).reshape(
         lx.shape[0], 5, npk.RC, npk.CK).any(axis=1)
     assert ((chx != ch_p) & live).sum() == 0
+
+
+@pytest.mark.slow
+def test_walk_kernel_matches_scan(setup):
+    from dynamont_tpu.ops import ntc_walk as nw
+
+    s = setup
+    i0, j0, k0, valid = nw.start_slots(
+        s["plan"], s["dims"], jnp.asarray(s["apE_x"]), s["N_r"], s["T_r"])
+    S_max = s["N2"] + 64
+    ref = nw.ntc_walk_batch(
+        s["plan"], s["dims"],
+        jnp.asarray(s["lp_x"]).reshape(s["lp_x"].shape[0], npk.R, -1),
+        jnp.asarray(s["ch_x"]).reshape(s["ch_x"].shape[0], npk.R, -1),
+        s["N_r"], s["T_r"], i0, j0, k0, valid, s["K"], s["S"], S_max)
+    lp_k = jnp.asarray(_to_kernel_layout(s["lp_x"], 5))
+    ch_k = jnp.asarray(_to_kernel_layout(
+        s["ch_x"].reshape(s["ch_x"].shape[0], npk.R, -1).astype(np.int32),
+        1)).astype(jnp.int32)
+    out = npk.ntc_walk_pallas(
+        s["packs"], lp_k, ch_k, i0, j0, k0, valid, s["N_r"], s["T_r"],
+        s["K"], s["S"], S_max, interpret=True)
+    names = ["seg_cnt", "state", "basepos", "start", "polish_k", "median",
+             "overflow"]
+    for name, a, b in zip(names, ref, out):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(b, a, atol=1e-6, err_msg=name)
+        else:
+            np.testing.assert_array_equal(b, a, err_msg=name)
+
+
+@pytest.mark.slow
+def test_engine_pallas_path_matches_scan_path(setup):
+    """Full NTCBatchEngine wiring (packs + 3 kernels + finish) vs scan."""
+    from dynamont_tpu.models.batch import BatchItem
+    from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+
+    model = load_model_for_pore("rna002")
+    items = []
+    for s in range(3):
+        sig, read = make_read(model, n_bases=20 + s * 5, seed=100 + s)
+        items.append(BatchItem(sig, read))
+    kw = dict(t_pad_to=32, n_pad_to=16, fallback=False)
+    eng_p = NTCBatchEngine(model, "rna002", pallas=True,
+                           pallas_interpret=True, **kw)
+    eng_s = NTCBatchEngine(model, "rna002", pallas=False, **kw)
+    outs_p = eng_p.run(items)
+    outs_s = eng_s.run(items)
+    for op, os_ in zip(outs_p, outs_s):
+        assert op.error == os_.error
+        if op.error is None:
+            assert abs(op.Z - os_.Z) < 1e-3
+            assert op.segments == os_.segments
