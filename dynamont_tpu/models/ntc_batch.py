@@ -63,12 +63,24 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
     )
     def run(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a, CN, CK0, S_max,
             use_pallas=False, interpret=False):
-        pn = nb.pre_tn_batch(
-            sig, kmer_ids, N_r, T_r, mu, sd, log_ppm, log_ppe, CN, dtype
-        )
-        pk = nb.pre_tk_batch(
-            sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0, dtype
-        )
+        if use_pallas:
+            from dynamont_tpu.ops import ntc_pre_pallas as npp
+
+            pn = npp.pre_tn_pallas(
+                sig, kmer_ids, N_r, T_r, mu, sd, log_ppm, log_ppe, CN,
+                interpret=interpret,
+            )
+            pk = npp.pre_tk_pallas(
+                sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0,
+                interpret=interpret,
+            )
+        else:
+            pn = nb.pre_tn_batch(
+                sig, kmer_ids, N_r, T_r, mu, sd, log_ppm, log_ppe, CN, dtype
+            )
+            pk = nb.pre_tk_batch(
+                sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0, dtype
+            )
         plan, dims = nb.build_plan_batch(
             pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
             mu, c1a, c2a, A, S, dtype,
@@ -183,9 +195,12 @@ class NTCBatchEngine:
             )
         if pallas:
             # Mosaic kernel geometry (ops/ntc_pallas): 16 reads x 8
-            # n-slots on sublanes, 128 k-slots on lanes
+            # n-slots on sublanes, 128 k-slots on lanes; the pre-pass
+            # kernels (ops/ntc_pre_pallas) need lane-tiled N2
             cap_n, cap_k = 8, 120
             batch_size = min(batch_size, 16)
+            self.n_pad_to = n_pad_to = max(n_pad_to, 128)
+            self.batch_size = batch_size
         self.pallas = pallas
         self.pallas_interpret = pallas_interpret
         self.cap_n = cap_n

@@ -161,6 +161,77 @@ def test_walk_kernel_matches_scan(setup):
 
 
 @pytest.mark.slow
+def test_pre_pass_kernels_match_scan(setup):
+    """TN/TK pre-pass kernels + bulk selection vs the XLA scan path."""
+    import math as _math
+
+    from dynamont_tpu.ops import ntc_pre_pallas as npp
+
+    model = load_model_for_pore("rna002")
+    pore = "rna002"
+    nt = NT_TRANSITIONS[pore]
+    log_m1, log_e2 = _math.log(nt["m1"]), _math.log(nt["e2"])
+    means, c1, c2 = model.score_params()
+    A, S = model.alphabet_size, model.kmer_size
+    dtype = jnp.float32
+    CN, CK0 = npk.CN, npk.CK - npk.CN
+
+    sigs, kids = [], []
+    for s in range(npk.R):
+        sig, read = make_read(model, n_bases=20 + (s % 3) * 5, seed=200 + s)
+        sigs.append(sig)
+        kids.append(np.asarray(seq_to_kmer_ids(read, S, A), np.int32))
+    T_arr = np.array([len(s) + 1 for s in sigs], np.int32)
+    N_arr = np.array([len(k) + 1 for k in kids], np.int32)
+    T_pad = round_up(int(T_arr.max()), 32)
+    N2 = round_up(int(N_arr.max()), 128)
+    sigp = np.zeros((npk.R, T_pad - 1), np.float32)
+    kidp = np.zeros((npk.R, N2 - 1), np.int32)
+    for j in range(npk.R):
+        sigp[j, : T_arr[j] - 1] = sigs[j]
+        kidp[j, : N_arr[j] - 1] = kids[j]
+    mt = jnp.asarray(means, dtype)
+    sdt = jnp.asarray(model.stdevs, dtype)
+    c1t = jnp.asarray(c1, dtype)
+    c2t = jnp.asarray(c2, dtype)
+    sigj, kidj = jnp.asarray(sigp), jnp.asarray(kidp)
+    T_r, N_r = jnp.asarray(T_arr), jnp.asarray(N_arr)
+
+    ref_tn = nb.pre_tn_batch(sigj, kidj, N_r, T_r, mt, sdt, log_m1,
+                             log_e2, CN, dtype)
+    got_tn = npp.pre_tn_pallas(sigj, kidj, N_r, T_r, mt, sdt, log_m1,
+                               log_e2, CN, interpret=True)
+    # TN per-cell math is op-identical: selection must agree exactly
+    np.testing.assert_array_equal(np.asarray(got_tn.cand),
+                                  np.asarray(ref_tn.cand))
+    np.testing.assert_array_equal(np.asarray(got_tn.cnt),
+                                  np.asarray(ref_tn.cnt))
+    np.testing.assert_allclose(np.asarray(got_tn.Zf),
+                               np.asarray(ref_tn.Zf), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_tn.Zb),
+                               np.asarray(ref_tn.Zb), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_tn.overflow),
+                                  np.asarray(ref_tn.overflow))
+
+    ref_tk = nb.pre_tk_batch(sigj, T_r, mt, c1t, c2t, log_m1, log_e2,
+                             A, CK0, dtype)
+    got_tk = npp.pre_tk_pallas(sigj, T_r, mt, c1t, c2t, log_m1, log_e2,
+                               A, CK0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_tk.Zf),
+                               np.asarray(ref_tk.Zf), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_tk.Zb),
+                               np.asarray(ref_tk.Zb), atol=1e-4)
+    # TK grouped-lse rounding differs by ~1 ulp: compare selected SETS
+    # allowing boundary flips only in degenerate near-tie columns
+    cand_r = np.sort(np.asarray(ref_tk.cand), axis=2)
+    cand_g = np.sort(np.asarray(got_tk.cand), axis=2)
+    mism = (cand_r != cand_g).any(axis=2)
+    assert mism.mean() < 1e-3, mism.mean()
+    np.testing.assert_array_equal(np.asarray(got_tk.overflow),
+                                  np.asarray(ref_tk.overflow))
+
+
+@pytest.mark.slow
 def test_engine_pallas_path_matches_scan_path(setup):
     """Full NTCBatchEngine wiring (packs + 3 kernels + finish) vs scan."""
     from dynamont_tpu.models.batch import BatchItem
