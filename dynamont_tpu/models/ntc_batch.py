@@ -83,7 +83,7 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             )
         plan, dims = nb.build_plan_batch(
             pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
-            mu, c1a, c2a, A, S, dtype,
+            mu, c1a, c2a, A, S, dtype, lite=use_pallas,
         )
         sigd = sig.astype(dtype)
         if use_pallas:
@@ -92,15 +92,16 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             from dynamont_tpu.ops import ntc_pallas as npk
 
             R = dims[0]
-            packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r)
+            packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K)
             bwd = npk.ntc_backward_pallas(packs, trans_log,
                                           interpret=interpret)
             bwd0 = (bwd[0].reshape(5, R, npk.CN, npk.CK)
                     .transpose(1, 0, 2, 3).reshape(R, -1))
             Zb3 = nb.ntc_zb_batch(plan, dims, bwd0)
-            lp, choices, apEf, fwdEf = npk.ntc_posterior_viterbi_pallas(
-                packs, bwd, Zb3, trans_log, interpret=interpret
-            )
+            lp, choices, slots, apEf, fwdEf = \
+                npk.ntc_posterior_viterbi_pallas(
+                    packs, bwd, Zb3, trans_log, interpret=interpret
+                )
             apE_final = apEf.reshape(R, npk.CN, npk.CK)
             fwdE_final = fwdEf.reshape(R, npk.CN, npk.CK)
         else:
@@ -117,8 +118,8 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
         if use_pallas:
             seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = \
                 npk.ntc_walk_pallas(
-                    packs, lp, choices, i0, j0, k0, valid, N_r, T_r,
-                    K, S, S_max, interpret=interpret,
+                    packs, lp, choices, slots, i0, j0, k0, valid, N_r,
+                    T_r, K, S, S_max, interpret=interpret,
                 )
         else:
             seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = \

@@ -307,10 +307,19 @@ def pre_tk_batch(sig, T_r, means, c1, c2, log_m1, log_e2,
 # ---------------------------------------------------------------------------
 
 def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
-                    means, c1, c2, alphabet_size: int, kmer_size: int, dtype):
+                    means, c1, c2, alphabet_size: int, kmer_size: int, dtype,
+                    lite: bool = False):
     """Single-read plan with a *traced* read length N_read (the static
     N = N_max only bounds shapes/clipping); otherwise identical to
-    ops/ntc_dp.build_plan. vmapped over reads by build_plan_batch."""
+    ops/ntc_dp.build_plan. vmapped over reads by build_plan_batch.
+
+    lite=True (the Mosaic-kernel path) skips the scatter-built inverse
+    tables and the four k-slot maps: the kernels (ops/ntc_pallas) build
+    their gather one-hots from K-MER VALUE equality against the
+    transposed candidate streams instead, and the posterior/Viterbi
+    kernel emits the predecessor slot indices the walk needs. TPU XLA
+    lowers the (T, K+1) scatter-min to serialized per-slot updates, which
+    dominates the whole plan build."""
     T, CN = cand_n.shape
     K = means.shape[0]
     N_max = kmer_seq.shape[0] + 1
@@ -330,25 +339,35 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     ks = jnp.concatenate([cand_k0, base_k], axis=1).astype(jnp.int32)
     CKm = ks.shape[1]
     t_iota = jnp.arange(T)[:, None]
-    slot_tab = jnp.full((T, K + 1), CKm, jnp.int32)
-    slot_tab = slot_tab.at[t_iota, ks].min(
-        jnp.broadcast_to(jnp.arange(CKm, dtype=jnp.int32)[None], ks.shape),
-        mode="drop",
-    )
-    slot_tab = slot_tab.at[:, K].set(CKm)
-    first_slot = jnp.take_along_axis(slot_tab, jnp.clip(ks, 0, K), axis=1)
-    live = (first_slot == jnp.arange(CKm, dtype=jnp.int32)[None]) & (ks < K)
+    slot_iota = jnp.arange(CKm, dtype=jnp.int32)[None]
     CK0 = cand_k0.shape[1]
-    k_valid0 = jnp.arange(CK0)[None, :] < cnt_k[:, None]
-    ck0 = jnp.where(k_valid0, cand_k0, K)
-    # membership via a per-column dense bool table over kmer values:
-    # one scatter + one gather instead of a (T, CKm, CK0) eq-broadcast
-    # (which XLA materializes -> ~1 GB of HBM traffic per read)
-    is_tk = jnp.zeros((T, K + 1), bool).at[t_iota, ck0].set(
-        True, mode="drop"
-    )
-    is_tk = is_tk.at[:, K].set(False)
-    from_tk = jnp.take_along_axis(is_tk, jnp.clip(ks, 0, K), axis=1)
+    if lite:
+        # first-slot-wins dedup + TK membership as fused eq-reduces
+        # (select_topk sentinels invalid candidates to K, so no count
+        # masks are needed: K never equals a live value)
+        eq = ks[:, :, None] == ks[:, None, :]            # (T, src, dst)
+        live = (ks < K) & ~(
+            eq & (slot_iota[0][:, None] < slot_iota[0][None, :])
+        ).any(axis=1)
+        from_tk = (ks < K) & eq[:, :CK0, :].any(axis=1)
+    else:
+        slot_tab = jnp.full((T, K + 1), CKm, jnp.int32)
+        slot_tab = slot_tab.at[t_iota, ks].min(
+            jnp.broadcast_to(slot_iota, ks.shape), mode="drop",
+        )
+        slot_tab = slot_tab.at[:, K].set(CKm)
+        first_slot = jnp.take_along_axis(slot_tab, jnp.clip(ks, 0, K), axis=1)
+        live = (first_slot == slot_iota) & (ks < K)
+        k_valid0 = jnp.arange(CK0)[None, :] < cnt_k[:, None]
+        ck0 = jnp.where(k_valid0, cand_k0, K)
+        # membership via a per-column dense bool table over kmer values:
+        # one scatter + one gather instead of a (T, CKm, CK0) eq-broadcast
+        # (which XLA materializes -> ~1 GB of HBM traffic per read)
+        is_tk = jnp.zeros((T, K + 1), bool).at[t_iota, ck0].set(
+            True, mode="drop"
+        )
+        is_tk = is_tk.at[:, K].set(False)
+        from_tk = jnp.take_along_axis(is_tk, jnp.clip(ks, 0, K), axis=1)
 
     allowed = (
         live[:, None, :]
@@ -405,11 +424,6 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     prev_n = jnp.concatenate([jnp.full((1, CN), N_max, cand_n.dtype), cand_n[:-1]], 0)
     next_n = jnp.concatenate([cand_n[1:], jnp.full((1, CN), N_max, cand_n.dtype)], 0)
 
-    prec_base = ks_safe // alphabet_size
-    prec_flat = (
-        prec_base[:, None, :] + (arange_a * step)[None, :, None]
-    ).reshape(T, -1)
-
     def slot2(values, table):
         """First slot of each value in the per-column table, -1 if absent.
         Dense eq-broadcast — fine for the CN=8-wide n-tables."""
@@ -417,17 +431,30 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
         found = eq.any(-1)
         return jnp.where(found, jnp.argmax(eq, -1).astype(jnp.int32), -1)
 
-    # k-maps via the same per-column inverse lookup (slot_tab above): ONE
-    # scatter-min table (first slot wins, dead duplicates lose) + cheap
-    # gathers, instead of (T, CKm|CKm*A, CKm) eq-broadcasts that cost
-    # gigabytes of HBM traffic per read. Column K holds the sentinel.
-    rowCK = jnp.full((1, K + 1), CKm, jnp.int32)
-    prev_tab = jnp.concatenate([rowCK, slot_tab[:-1]], 0)
-    next_tab = jnp.concatenate([slot_tab[1:], rowCK], 0)
+    if lite:
+        dummy = jnp.zeros((T, 1), jnp.int32)
+        col_same = col_prec = bcol_same = bcol_suc = dummy
+    else:
+        prec_base = ks_safe // alphabet_size
+        prec_flat = (
+            prec_base[:, None, :] + (arange_a * step)[None, :, None]
+        ).reshape(T, -1)
+        # k-maps via the same per-column inverse lookup (slot_tab above):
+        # ONE scatter-min table (first slot wins, dead duplicates lose) +
+        # cheap gathers, instead of (T, CKm|CKm*A, CKm) eq-broadcasts that
+        # cost gigabytes of HBM traffic per read. Column K = sentinel.
+        rowCK = jnp.full((1, K + 1), CKm, jnp.int32)
+        prev_tab = jnp.concatenate([rowCK, slot_tab[:-1]], 0)
+        next_tab = jnp.concatenate([slot_tab[1:], rowCK], 0)
 
-    def kslot(tab, values):
-        got = jnp.take_along_axis(tab, jnp.clip(values, 0, K), axis=1)
-        return jnp.where(got < CKm, got, -1)
+        def kslot(tab, values):
+            got = jnp.take_along_axis(tab, jnp.clip(values, 0, K), axis=1)
+            return jnp.where(got < CKm, got, -1)
+
+        col_same = kslot(prev_tab, ks)
+        col_prec = kslot(prev_tab, prec_flat)
+        bcol_same = kslot(next_tab, ks)
+        bcol_suc = kslot(next_tab, suc_flat)
 
     return NTCPlan(
         cand_n=cand_n.astype(jnp.int32), cnt_n=cnt_n.astype(jnp.int32),
@@ -436,9 +463,9 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
         kN=kN.astype(jnp.int32), mu_n=means[kN], c1_n=c1[kN], c2_n=c2[kN],
         kN2=kN2.astype(jnp.int32), mu_n2=means[kN2], c1_n2=c1[kN2], c2_n2=c2[kN2],
         row_same=slot2(cand_n, prev_n), row_prev=slot2(cand_n - 1, prev_n),
-        col_same=kslot(prev_tab, ks), col_prec=kslot(prev_tab, prec_flat),
+        col_same=col_same, col_prec=col_prec,
         brow_same=slot2(cand_n, next_n), brow_next=slot2(cand_n + 1, next_n),
-        bcol_same=kslot(next_tab, ks), bcol_suc=kslot(next_tab, suc_flat),
+        bcol_same=bcol_same, bcol_suc=bcol_suc,
         suc_vals=suc_flat.astype(jnp.int32),
         mu_suc=means[suc_flat], c1_suc=c1[suc_flat], c2_suc=c2[suc_flat],
         hd1=hd1, hd2=hd2, hd1s=hd1s, hd2s=hd2s, d01=d01, d02=d02,
@@ -456,7 +483,7 @@ class PlanDims(NamedTuple):
 
 def build_plan_batch(cand_n, cnt_n, cand_k0, cnt_k, kmer_ids, N_r,
                      means, c1, c2, alphabet_size: int, kmer_size: int,
-                     dtype):
+                     dtype, lite: bool = False):
     """cand_n (T, R, CN), cnt_n (T, R), cand_k0 (T, R, CK0), cnt_k (T, R),
     kmer_ids (R, N_max-1), N_r (R,).
 
@@ -468,7 +495,8 @@ def build_plan_batch(cand_n, cnt_n, cand_k0, cnt_k, kmer_ids, N_r,
     KBs — padding there is irrelevant)."""
     fn = jax.vmap(
         lambda a, b, c, d, ks, n: _build_plan_one(
-            a, b, c, d, ks, n, means, c1, c2, alphabet_size, kmer_size, dtype
+            a, b, c, d, ks, n, means, c1, c2, alphabet_size, kmer_size,
+            dtype, lite=lite,
         ),
         in_axes=(1, 1, 1, 1, 0, 0), out_axes=1,
     )

@@ -68,12 +68,15 @@ D01, D02 = 14, 15
 ISTERM, DEAD, ROWN, N0 = 16, 17, 18, 19
 SIG_T, SIG_TM1 = 20, 21
 
-# kcol stream indices ((16, CK) rows per stream)
-K_MU, K_C1, K_C2, K_BCS, K_CSF, K_SIG, K_SIGM1 = 0, 1, 2, 3, 4, 5, 6
-NKS = 7
+# kcol stream indices ((16, CK) rows per stream); K_KS carries the
+# first-slot-wins masked k-mer VALUES (dead slots -1) — the kernels build
+# every k-slot gather one-hot from value equality against the transposed
+# candidate streams (ksTp/ksTn), so no slot maps are precomputed
+K_MU, K_C1, K_C2, K_KS, K_SIG, K_SIGM1 = 0, 1, 2, 3, 4, 5
+NKS = 6
 # suc stream indices ((16, ACK) rows per stream)
-S_MU, S_C1, S_C2, S_BCS, S_CPF = 0, 1, 2, 3, 4
-NSS = 5
+S_MU, S_C1, S_C2 = 0, 1, 2
+NSS = 3
 
 A_ST, P_ST, S_ST, E_ST, I_ST = 0, 1, 2, 3, 4  # ref: NTC.cpp:699-703
 
@@ -82,19 +85,24 @@ class NTCPacks(NamedTuple):
     nrow: jax.Array   # (T, NS, 128) f32
     kcol: jax.Array   # (T, NKS, 16, CK) f32
     suc: jax.Array    # (T, NSS, 16, ACK) f32
+    ksTp: jax.Array   # (T, CK, 16) f32: masked ks of column t-1, slot-major
+    ksTn: jax.Array   # (T, CK, 16) f32: masked ks of column t+1, slot-major
     alw: jax.Array    # (T, 128, CK) int8
     hd: jax.Array     # (T, 128, CK) int16 packed hd1|hd2<<4|hd1s<<8|hd2s<<12
     T_pad: int
+    K: int            # k-mer count (successor/predecessor value arithmetic)
 
 
 def _f32(x):
     return x.astype(jnp.float32)
 
 
-def build_kernel_packs(plan, dims, sig, N_r, T_r) -> NTCPacks:
+def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int) -> NTCPacks:
     """Re-lay the flat (T, X) NTCPlan streams into the kernel layouts.
 
-    sig: (R, T_pad-1) f32; N_r/T_r: (R,) int32. All jit-traceable."""
+    sig: (R, T_pad-1) f32; N_r/T_r: (R,) int32; K: k-mer count (static).
+    All jit-traceable. Works from a lite plan (build_plan_batch
+    lite=True) — no slot maps are consumed."""
     Rr, CNp, CKp, Ap = dims
     assert (Rr, CNp, CKp, Ap) == (R, CN, CK, A), (dims,)
     T_pad = plan.cand_n.shape[0]
@@ -150,14 +158,20 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r) -> NTCPacks:
     k16 = lambda a: _f32(a).reshape(T_pad, R, CK)
     sigk = jnp.broadcast_to(sig_pad.T[:, :, None], (T_pad, R, CK))
     sigkm = jnp.broadcast_to(sig_prev.T[:, :, None], (T_pad, R, CK))
+    ks_live = jnp.where(plan.live.reshape(T_pad, R, CK) > 0,
+                        _f32(plan.ks.reshape(T_pad, R, CK)), -1.0)
     kcol = jnp.stack(
         [k16(plan.mu_k), k16(plan.c1_k), k16(plan.c2_k),
-         k16(plan.bcol_same), k16(plan.col_same), sigk, sigkm], axis=1)
+         ks_live, sigk, sigkm], axis=1)
 
     s16 = lambda a: _f32(a).reshape(T_pad, R, ACK)
     suc = jnp.stack(
-        [s16(plan.mu_suc), s16(plan.c1_suc), s16(plan.c2_suc),
-         s16(plan.bcol_suc), s16(plan.col_prec)], axis=1)
+        [s16(plan.mu_suc), s16(plan.c1_suc), s16(plan.c2_suc)], axis=1)
+
+    ksT = ks_live.transpose(0, 2, 1)                     # (T, CK, 16)
+    no_col = jnp.full((1, CK, R), -1.0, jnp.float32)
+    ksTp = jnp.concatenate([no_col, ksT[:-1]], axis=0)
+    ksTn = jnp.concatenate([ksT[1:], no_col], axis=0)
 
     alw = plan.allowed.reshape(T_pad, RC, CK).astype(jnp.int8)
     hd = (plan.hd1.astype(jnp.int32)
@@ -165,7 +179,7 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r) -> NTCPacks:
           | (plan.hd1s.astype(jnp.int32) << 8)
           | (plan.hd2s.astype(jnp.int32) << 12)
           ).astype(jnp.int16).reshape(T_pad, RC, CK)
-    return NTCPacks(nrow, kcol, suc, alw, hd, T_pad)
+    return NTCPacks(nrow, kcol, suc, ksTp, ksTn, alw, hd, T_pad, K)
 
 
 # ---------------------------------------------------------------------------
@@ -200,37 +214,74 @@ def _row_gather(idx_col, blocks):
     return [g[:, k * CK:(k + 1) * CK] for k in range(len(blocks))]
 
 
-def _col_gather(srcs, idx_same16, idx_suc16):
-    """k-slot gathers for all reads: srcs = list of (128, CK) blocks; for
-    each read one (8*len, CK) @ (CK, CK+ACK) one-hot matmul against that
-    read's [same | successor] target indices. Returns
-    (list of (128, CK) same-gathers, list of (128, ACK) suc-gathers)."""
+def _col_gather(srcs, ksT_col, dst_same16, dst_suc16, want_slots=False):
+    """k-slot gathers for all reads, by K-MER VALUE equality.
+
+    srcs: list of (128, CK) state blocks of the SOURCE column; ksT_col
+    (CK, 16): that column's first-slot-wins masked k-mer values (dead
+    slots -1), slot-major; dst_same16 (16, CK) / dst_suc16 (16, ACK):
+    target VALUES per destination slot (invalid -2, so -1 never
+    matches). Dedup guarantees at most one live source slot per value,
+    so the one-hot matmul needs no first-match logic; two constant rows
+    appended to the source stack recover the matched mask and (for the
+    walk) the matched source slot index. Returns (same-gathers,
+    suc-gathers[, cs (16, CK), cpa (16, ACK)] source slot indices, -1
+    where absent)."""
     L = len(srcs)
-    j_same = jax.lax.broadcasted_iota(jnp.int32, (CK, CK), 0).astype(jnp.float32)
-    j_suc = jax.lax.broadcasted_iota(jnp.int32, (CK, ACK), 0).astype(jnp.float32)
+    slot_iota = jax.lax.broadcasted_iota(
+        jnp.float32, (1, CK), 1)
+    ones_row = jnp.ones((1, CK), jnp.float32)
     parts_same = [[] for _ in range(L)]
     parts_suc = [[] for _ in range(L)]
+    cs_rows, cpa_rows = [], []
     for r in range(R):
+        src_vals = ksT_col[:, r:r + 1]                  # (CK, 1)
         oh = jnp.concatenate(
-            [(j_same == idx_same16[r:r + 1, :]).astype(jnp.float32),
-             (j_suc == idx_suc16[r:r + 1, :]).astype(jnp.float32)], axis=1)
+            [(src_vals == dst_same16[r:r + 1, :]).astype(jnp.float32),
+             (src_vals == dst_suc16[r:r + 1, :]).astype(jnp.float32)],
+            axis=1)                                      # (CK, CK+ACK)
         x_r = jnp.concatenate(
-            [jnp.maximum(s[r * CN:(r + 1) * CN], NEG_BIG) for s in srcs],
-            axis=0)
+            [jnp.maximum(s[r * CN:(r + 1) * CN], NEG_BIG) for s in srcs]
+            + [ones_row, slot_iota], axis=0)             # (8L+2, CK)
         y = jnp.dot(x_r, oh, preferred_element_type=jnp.float32,
                     precision=PREC)
-        dead_s = idx_same16[r:r + 1, :] < 0.0
-        dead_u = idx_suc16[r:r + 1, :] < 0.0
+        matched = y[L * CN:L * CN + 1] > 0.5             # (1, CK+ACK)
         for k in range(L):
             gs = y[k * CN:(k + 1) * CN, :CK]
             gu = y[k * CN:(k + 1) * CN, CK:]
             gs = jnp.where(gs <= NEG_THR, NEG_INF, gs)
             gu = jnp.where(gu <= NEG_THR, NEG_INF, gu)
-            parts_same[k].append(jnp.where(dead_s, NEG_INF, gs))
-            parts_suc[k].append(jnp.where(dead_u, NEG_INF, gu))
+            parts_same[k].append(jnp.where(matched[:, :CK], gs, NEG_INF))
+            parts_suc[k].append(jnp.where(matched[:, CK:], gu, NEG_INF))
+        if want_slots:
+            idx = jnp.where(matched, y[L * CN + 1:L * CN + 2], -1.0)
+            cs_rows.append(idx[:, :CK])
+            cpa_rows.append(idx[:, CK:])
     same = [jnp.concatenate(p, axis=0) for p in parts_same]
     suc = [jnp.concatenate(p, axis=0) for p in parts_suc]
+    if want_slots:
+        return same, suc, jnp.concatenate(cs_rows, 0), jnp.concatenate(
+            cpa_rows, 0)
     return same, suc
+
+
+def _dst_vals(ks_row, K, mode):
+    """Target values per destination slot from the column's own masked
+    k-mer values ks_row (16, CK): 'same' passes them through; 'suc' /
+    'prec' build the A-major successor (ks%step)*A+a resp. predecessor
+    ks//A+a*step value lists (16, ACK). Invalid slots map to -2."""
+    ok = ks_row >= 0.0
+    if mode == "same":
+        return jnp.where(ok, ks_row, -2.0)
+    step = float(K // A)
+    if mode == "suc":
+        base = (ks_row - step * jnp.floor(ks_row / step)) * A
+        offs = [base + a for a in range(A)]
+    else:
+        base = jnp.floor(ks_row / A)
+        offs = [base + a * step for a in range(A)]
+    return jnp.concatenate(
+        [jnp.where(ok, o, -2.0) for o in offs], axis=1)
 
 
 def _lse(terms):
@@ -293,8 +344,8 @@ def _unpack_hd(hd_i16):
 # backward kernel (ref: NTC.cpp:500-578; XLA: ops/ntc_batch.ntc_backward_batch)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref, out_ref,
-                stA, stP, stS, stE, stI, *, C, nc, tl):
+def _bwd_kernel(nrow_ref, kcol_ref, suc_ref, ksTn_ref, alw_ref, hd_ref,
+                out_ref, stA, stP, stS, stE, stI, *, C, nc, tl, K):
     ci = pl.program_id(0)
     chunk = nc - 1 - ci
 
@@ -348,9 +399,10 @@ def _bwd_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref, out_ref,
         gnsE, gnsP = _row_gather(col(BROW_SAME), [stE[...], stP[...]])
         gnnS, gnnA = _row_gather(col(BROW_NEXT), [stS[...], stA[...]])
 
+        ks_cur = kcol_ref[i, K_KS]
         gk_same, gk_suc = _col_gather(
-            [gnsE, gnnS, gnsP, gnnA],
-            kcol_ref[i, K_BCS], suc_ref[i, S_BCS])
+            [gnsE, gnnS, gnsP, gnnA], ksTn_ref[i],
+            _dst_vals(ks_cur, K, "same"), _dst_vals(ks_cur, K, "suc"))
         gskE, gnkS = gk_same[0], gk_same[1]
         gspP, gnaA = gk_suc[2], gk_suc[3]
 
@@ -429,7 +481,7 @@ def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
     assert T_pad % C == 0
     nc = T_pad // C
     tl = {k: np.float32(v) for k, v in trans_log.items()}
-    kernel = functools.partial(_bwd_kernel, C=C, nc=nc, tl=tl)
+    kernel = functools.partial(_bwd_kernel, C=C, nc=nc, tl=tl, K=packs.K)
     rev = lambda c: nc - 1 - c
     out = pl.pallas_call(
         kernel,
@@ -441,6 +493,8 @@ def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, NSS, R, ACK), lambda c: (rev(c), 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, CK, R), lambda c: (rev(c), 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (rev(c), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (rev(c), 0, 0),
@@ -451,7 +505,7 @@ def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), jnp.float32),
         scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32) for _ in range(5)],
         interpret=interpret,
-    )(packs.nrow, packs.kcol, packs.suc, packs.alw, packs.hd)
+    )(packs.nrow, packs.kcol, packs.suc, packs.ksTn, packs.alw, packs.hd)
     return out
 
 
@@ -460,10 +514,10 @@ def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
 # (ref getBorders: NTC.cpp:595-669; XLA: ntc_posterior_viterbi_batch)
 # ---------------------------------------------------------------------------
 
-def _pv_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref, bwd_ref,
-               z_ref, lp_ref, ch_ref, apEf_ref, fwdEf_ref,
+def _pv_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
+               bwd_ref, z_ref, lp_ref, ch_ref, sl_ref, apEf_ref, fwdEf_ref,
                fA, fP, fS, fE, fI, vA, vP, vS, vE, vI, apEf, fwdEf,
-               *, C, tl):
+               *, C, tl, K):
     ci = pl.program_id(0)
 
     @pl.when(ci == 0)
@@ -501,14 +555,26 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref, bwd_ref,
 
         init_col = jnp.where(n0alw, 0.0, NEG_INF)
 
-        # ---- forward column (ref fwd recurrences; XLA _fwd_column) ----
+        # ---- row + column gathers for BOTH the forward recurrence and
+        # the Viterbi pass: the two share one value-equality one-hot per
+        # read (the viterbi scratches are not written until the end of
+        # the step, so gathering them up front is safe) ----
         geP_E, geP_I, geP_P = _row_gather(
             col(ROW_PREV), [fE[...], fI[...], fP[...]])
         geS_A, geS_P, geS_S, geS_E, geS_I = _row_gather(
             col(ROW_SAME), [fA[...], fP[...], fS[...], fE[...], fI[...]])
-        f_same, f_suc = _col_gather(
-            [geP_E, geP_I, geP_P, geS_A, geS_P, geS_S, geS_E, geS_I],
-            kcol_ref[i, K_CSF], suc_ref[i, S_CPF])
+        aP_E, aP_I, aP_P = _row_gather(
+            col(ROW_PREV), [vE[...], vI[...], vP[...]])
+        aS_A, aS_P, aS_S, aS_E, aS_I = _row_gather(
+            col(ROW_SAME), [vA[...], vP[...], vS[...], vE[...], vI[...]])
+        ks_cur = kcol_ref[i, K_KS]
+        g_same, g_suc, cs16, cpa16 = _col_gather(
+            [geP_E, geP_I, geP_P, geS_A, geS_P, geS_S, geS_E, geS_I,
+             aP_E, aP_I, aP_P, aS_A, aS_P, aS_S, aS_E, aS_I],
+            ksTp_ref[i], _dst_vals(ks_cur, K, "same"),
+            _dst_vals(ks_cur, K, "prec"), want_slots=True)
+        f_same, f_suc = g_same[:8], g_suc[:8]
+        v_same, v_suc = g_same[8:], g_suc[8:]
 
         a_terms = []
         p_terms = []
@@ -548,14 +614,6 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref, bwd_ref,
             lp_ref[i, st * RC:(st + 1) * RC] = lp_st
 
         # ---- viterbi over posteriors + first-match choices ----
-        aP_E, aP_I, aP_P = _row_gather(
-            col(ROW_PREV), [vE[...], vI[...], vP[...]])
-        aS_A, aS_P, aS_S, aS_E, aS_I = _row_gather(
-            col(ROW_SAME), [vA[...], vP[...], vS[...], vE[...], vI[...]])
-        v_same, v_suc = _col_gather(
-            [aP_E, aP_I, aP_P, aS_A, aS_P, aS_S, aS_E, aS_I],
-            kcol_ref[i, K_CSF], suc_ref[i, S_CPF])
-
         a_cands = []
         p_cands = []
         for ai in range(A):
@@ -593,6 +651,24 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref, bwd_ref,
         packed = jnp.where(t0, 0, packed)
         ch_ref[i] = packed
 
+        # walk slot word: the chosen predecessor slots (+1; 0 = absent).
+        # cs is per (read, k-slot); the A/P predecessor slot depends on
+        # the cell's chosen alphabet digit, selected from the A-major
+        # cpa lanes per cell
+        cs_E = _exp16(E, cs16 + 1.0)
+        cpa_E = _exp16(E, cpa16 + 1.0)
+        ai_a = ch_a >> 1
+        ai_p = ch_p // 3
+        cpaA = jnp.zeros((RC, CK), jnp.float32)
+        cpaP = jnp.zeros((RC, CK), jnp.float32)
+        for a in range(A):
+            sl_a = cpa_E[:, a * CK:(a + 1) * CK]
+            cpaA = jnp.where(ai_a == a, sl_a, cpaA)
+            cpaP = jnp.where(ai_p == a, sl_a, cpaP)
+        sl_ref[i] = (cs_E.astype(jnp.int32)
+                     | (cpaA.astype(jnp.int32) << 8)
+                     | (cpaP.astype(jnp.int32) << 16))
+
         apEf[...] = jnp.where(is_term, ap_cols[E_ST], apEf[...])
         fwdEf[...] = jnp.where(is_term, fwd_cols[E_ST], fwdEf[...])
         return 0
@@ -605,15 +681,16 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref, bwd_ref,
 def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
                                  interpret: bool = False):
     """Returns (lp (T, 640, 128) — written over `bwd`'s buffer, choices
-    (T, 128, 128) int32, apE_final (128, 128), fwdE_final (128, 128))."""
+    (T, 128, 128) int32, slots (T, 128, 128) int32 walk predecessor
+    slots, apE_final (128, 128), fwdE_final (128, 128))."""
     T_pad = packs.T_pad
     C = C_PV
     assert T_pad % C == 0
     nc = T_pad // C
     tl = {k: np.float32(v) for k, v in trans_log.items()}
-    kernel = functools.partial(_pv_kernel, C=C, tl=tl)
+    kernel = functools.partial(_pv_kernel, C=C, tl=tl, K=packs.K)
     zcol = jnp.repeat(Z_norm.astype(jnp.float32), CN)[:, None]  # (128, 1)
-    lp, ch, apEf, fwdEf = pl.pallas_call(
+    lp, ch, sl, apEf, fwdEf = pl.pallas_call(
         kernel,
         grid=(nc,),
         in_specs=[
@@ -622,6 +699,8 @@ def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
             pl.BlockSpec((C, NKS, R, CK), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, NSS, R, ACK), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, CK, R), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -637,6 +716,8 @@ def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((RC, CK), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RC, CK), lambda c: (0, 0),
@@ -645,15 +726,17 @@ def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
         out_shape=(
             jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), jnp.float32),
             jax.ShapeDtypeStruct((T_pad, RC, CK), jnp.int32),
+            jax.ShapeDtypeStruct((T_pad, RC, CK), jnp.int32),
             jax.ShapeDtypeStruct((RC, CK), jnp.float32),
             jax.ShapeDtypeStruct((RC, CK), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32)
                         for _ in range(12)],
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         interpret=interpret,
-    )(packs.nrow, packs.kcol, packs.suc, packs.alw, packs.hd, bwd, zcol)
-    return lp, ch, apEf, fwdEf
+    )(packs.nrow, packs.kcol, packs.suc, packs.ksTp, packs.alw, packs.hd,
+      bwd, zcol)
+    return lp, ch, sl, apEf, fwdEf
 
 
 # ---------------------------------------------------------------------------
@@ -679,7 +762,7 @@ SP_I0, SP_J0, SP_K0, SP_VALID, SP_NM1, SP_TM1 = 0, 1, 2, 3, 4, 5
 W_ACT, W_STATE, W_I, W_J, W_K, W_N, W_SEG, W_STUCK = 0, 1, 2, 3, 4, 5, 6, 7
 
 
-def _walk_kernel(nrow_ref, kcol_ref, suc_ref, lp_ref, ch_ref, sp_ref,
+def _walk_kernel(nrow_ref, sl_ref, lp_ref, ch_ref, sp_ref,
                  rec_ref, fin_ref, st, *, C, nc, Kdiv, half, S_max):
     ci = pl.program_id(0)
     chunk = nc - 1 - ci
@@ -691,7 +774,6 @@ def _walk_kernel(nrow_ref, kcol_ref, suc_ref, lp_ref, ch_ref, sp_ref,
     r_col = jax.lax.broadcasted_iota(jnp.float32, (R, 1), 0)
     lane128 = jax.lax.broadcasted_iota(jnp.float32, (R, CK), 1)
     lane640 = jax.lax.broadcasted_iota(jnp.float32, (R, 5 * RC), 1)
-    lane512 = jax.lax.broadcasted_iota(jnp.float32, (R, ACK), 1)
     i0c = sp_ref[SP_I0][:, None]
     j0c = sp_ref[SP_J0][:, None]
     k0c = sp_ref[SP_K0][:, None]
@@ -705,11 +787,10 @@ def _walk_kernel(nrow_ref, kcol_ref, suc_ref, lp_ref, ch_ref, sp_ref,
         t = (chunk * C + i).astype(jnp.float32)
         lp_t = jnp.maximum(lp_ref[i], NEG_BIG)          # (640, 128)
         ch_t = ch_ref[i].astype(jnp.float32)            # (128, 128) < 2^13
+        sl_t = sl_ref[i].astype(jnp.float32)            # (128, 128) < 2^24
         nr = nrow_ref[i]                                # (NS, 128)
         rs_row = nr[ROW_SAME][None, :]
         rp_row = nr[ROW_PREV][None, :]
-        cs_row = kcol_ref[i, K_CSF]                     # (16, CK)
-        cp_row = suc_ref[i, S_CPF]                      # (16, ACK)
 
         active = st[:, W_ACT:W_ACT + 1] > 0.5
         state = st[:, W_STATE:W_STATE + 1]
@@ -745,6 +826,9 @@ def _walk_kernel(nrow_ref, kcol_ref, suc_ref, lp_ref, ch_ref, sp_ref,
             Pc = jnp.dot(U2, ch_t, preferred_element_type=jnp.float32,
                          precision=PREC)
             ch = sel(Pc, Vj).astype(jnp.int32)
+            Ps = jnp.dot(U2, sl_t, preferred_element_type=jnp.float32,
+                         precision=PREC)
+            slv = sel(Ps, Vj).astype(jnp.int32)
 
             is_I = active & (state == float(I_ST)) & t_pos
             i_break = is_I & (sn == 1.0)
@@ -780,13 +864,14 @@ def _walk_kernel(nrow_ref, kcol_ref, suc_ref, lp_ref, ch_ref, sp_ref,
             chI = ((ch >> 11) & 1).astype(jnp.float32)
             rs = sel(rs_row * U2, jnp.ones((R, 1), jnp.float32))
             rp = sel(rp_row * U2, jnp.ones((R, 1), jnp.float32))
-            cs = sel(cs_row, Vj)
+            # predecessor slots from the pv kernel's slot word (+1 coded)
+            cs = ((slv & 255) - 1).astype(jnp.float32)
+            cpaA = (((slv >> 8) & 255) - 1).astype(jnp.float32)
+            cpaP = (((slv >> 16) & 255) - 1).astype(jnp.float32)
+            cpa = jnp.where(is_A, cpaA, cpaP)
             chAf = chA.astype(jnp.float32)
             ai = jnp.where(is_A, jnp.floor(chAf / 2.0),
                            jnp.floor(chP / 3.0))
-            # col_prec is A-MAJOR flat (see ntc_batch._build_plan_one)
-            Vai = (lane512 == ai * CK + sj).astype(jnp.float32)
-            cpa = sel(cp_row, Vai)
             stE = jnp.where(
                 chE == 0.0, float(E_ST),
                 jnp.where(chE == 1.0, float(A_ST),
@@ -833,11 +918,12 @@ def _walk_kernel(nrow_ref, kcol_ref, suc_ref, lp_ref, ch_ref, sp_ref,
     fin_ref[...] = st[...]
 
 
-def ntc_walk_pallas(packs: NTCPacks, lp, choices, i0, j0, k0, valid_start,
-                    N_r, T_r, K: int, kmer_size: int, S_max: int,
-                    interpret: bool = False):
+def ntc_walk_pallas(packs: NTCPacks, lp, choices, slots, i0, j0, k0,
+                    valid_start, N_r, T_r, K: int, kmer_size: int,
+                    S_max: int, interpret: bool = False):
     """Mosaic traceback walk + XLA finish. Same contract as
-    ops/ntc_walk.ntc_walk_batch with kernel_layout=True."""
+    ops/ntc_walk.ntc_walk_batch with kernel_layout=True; `slots` is the
+    pv kernel's predecessor-slot word."""
     from dynamont_tpu.ops.ntc_walk import finish_records
 
     T_pad = packs.T_pad
@@ -859,8 +945,8 @@ def ntc_walk_pallas(packs: NTCPacks, lp, choices, i0, j0, k0, valid_start,
         in_specs=[
             pl.BlockSpec((C, NS, RC), lambda c: (nc - 1 - c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, NKS, R, CK), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, NSS, R, ACK), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (nc - 1 - c, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 5 * RC, CK), lambda c: (nc - 1 - c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (nc - 1 - c, 0, 0),
@@ -880,7 +966,7 @@ def ntc_walk_pallas(packs: NTCPacks, lp, choices, i0, j0, k0, valid_start,
         ),
         scratch_shapes=[pltpu.VMEM((R, 16), jnp.float32)],
         interpret=interpret,
-    )(packs.nrow, packs.kcol, packs.suc, lp, choices, sp)
+    )(packs.nrow, slots, lp, choices, sp)
 
     fld = lambda f, dt: (rec[..., f].transpose(2, 0, 1)
                          .reshape(R, T_pad * N_MICRO).astype(dt))

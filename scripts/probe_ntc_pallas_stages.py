@@ -94,23 +94,24 @@ def main():
     def prefix(stage: str):
         @jax.jit
         def f(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a):
-            pn = nb.pre_tn_batch(sig, kmer_ids, N_r, T_r, mu, sd,
-                                 log_ppm, log_ppe, CN, dtype)
+            from dynamont_tpu.ops import ntc_pre_pallas as npp
+            pn = npp.pre_tn_pallas(sig, kmer_ids, N_r, T_r, mu, sd,
+                                   log_ppm, log_ppe, CN)
             if stage == "pre_tn":
                 return pn.Zf.sum() + pn.cnt.sum()
-            pk = nb.pre_tk_batch(sig, T_r, mu, c1a, c2a, log_ppm, log_ppe,
-                                 A, CK0, dtype)
+            pk = npp.pre_tk_pallas(sig, T_r, mu, c1a, c2a, log_ppm,
+                                   log_ppe, A, CK0)
             if stage == "pre_tk":
                 return pn.Zf.sum() + pk.Zf.sum() + pk.cnt.sum()
             plan, dims = nb.build_plan_batch(
                 pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
-                mu, c1a, c2a, A, S, dtype,
+                mu, c1a, c2a, A, S, dtype, lite=True,
             )
             if stage == "plan":
                 return (plan.allowed.sum() + plan.mu_k.sum()
                         + pn.Zf.sum() + pk.Zf.sum())
             sigd = sig.astype(dtype)
-            packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r)
+            packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K)
             if stage == "packs":
                 return (packs.nrow.sum() + packs.kcol.sum()
                         + packs.alw.sum().astype(jnp.float32))
@@ -122,8 +123,8 @@ def main():
             Zb3 = nb.ntc_zb_batch(plan, dims, bwd0)
             if stage == "zb":
                 return Zb3.sum()
-            lp, choices, apEf, fwdEf = npk.ntc_posterior_viterbi_pallas(
-                packs, bwd, Zb3, trans_log)
+            lp, choices, slots, apEf, fwdEf = \
+                npk.ntc_posterior_viterbi_pallas(packs, bwd, Zb3, trans_log)
             if stage == "post_vit":
                 return Zb3.sum() + fwdEf.sum() + choices[0].sum()
             apE_final = apEf.reshape(R, npk.CN, npk.CK)
@@ -132,9 +133,8 @@ def main():
             i0, j0, k0, valid = nw.start_slots(plan, dims, apE_final,
                                                N_r, T_r)
             seg_cnt, st_a, bp_a, start_a, k_a, med, seg_ovf = \
-                nw.ntc_walk_batch(plan, dims, lp, choices, N_r, T_r,
-                                  i0, j0, k0, valid, K, S, S_max,
-                                  kernel_layout=True)
+                npk.ntc_walk_pallas(packs, lp, choices, slots, i0, j0,
+                                    k0, valid, N_r, T_r, K, S, S_max)
             return seg_cnt.sum() + med.sum() + Zf3.sum()
 
         return f

@@ -69,7 +69,8 @@ def setup():
     Zb_x = nb.ntc_zb_batch(plan, dims, bwd_x[0])
     lp_x, ch_x, apE_x, fwdE_x = nb.ntc_posterior_viterbi_batch(
         plan, dims, sigd, bwd_x, Zb_x, trans_log, N_r, T_r, S, dtype)
-    packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r)
+    packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r,
+                                   model.num_kmers)
     return dict(plan=plan, dims=dims, packs=packs, trans_log=trans_log,
                 bwd_x=np.asarray(bwd_x), Zb_x=np.asarray(Zb_x),
                 lp_x=np.asarray(lp_x), ch_x=np.asarray(ch_x),
@@ -111,7 +112,7 @@ def test_posterior_viterbi_kernel_matches_scan(setup):
     s = setup
     bwd_p = npk.ntc_backward_pallas(s["packs"], s["trans_log"],
                                     interpret=True)
-    lp_p, ch_p, apE_p, fwdE_p = jax.tree_util.tree_map(
+    lp_p, ch_p, sl_p, apE_p, fwdE_p = jax.tree_util.tree_map(
         np.asarray,
         npk.ntc_posterior_viterbi_pallas(
             s["packs"], bwd_p, jnp.asarray(s["Zb_x"]), s["trans_log"],
@@ -147,9 +148,14 @@ def test_walk_kernel_matches_scan(setup):
     ch_k = jnp.asarray(_to_kernel_layout(
         s["ch_x"].reshape(s["ch_x"].shape[0], npk.R, -1).astype(np.int32),
         1)).astype(jnp.int32)
+    bwd_p = npk.ntc_backward_pallas(s["packs"], s["trans_log"],
+                                    interpret=True)
+    _, _, sl_k, _, _ = npk.ntc_posterior_viterbi_pallas(
+        s["packs"], bwd_p, jnp.asarray(s["Zb_x"]), s["trans_log"],
+        interpret=True)
     out = npk.ntc_walk_pallas(
-        s["packs"], lp_k, ch_k, i0, j0, k0, valid, s["N_r"], s["T_r"],
-        s["K"], s["S"], S_max, interpret=True)
+        s["packs"], lp_k, ch_k, sl_k, i0, j0, k0, valid, s["N_r"],
+        s["T_r"], s["K"], s["S"], S_max, interpret=True)
     names = ["seg_cnt", "state", "basepos", "start", "polish_k", "median",
              "overflow"]
     for name, a, b in zip(names, ref, out):
@@ -158,6 +164,56 @@ def test_walk_kernel_matches_scan(setup):
             np.testing.assert_allclose(b, a, atol=1e-6, err_msg=name)
         else:
             np.testing.assert_array_equal(b, a, err_msg=name)
+
+
+@pytest.mark.slow
+def test_lite_plan_matches_full_plan(setup):
+    """build_plan_batch lite=True: every retained field equals the full
+    plan's (the kernels recompute the dropped slot maps from values)."""
+    model = load_model_for_pore("rna002")
+    pore = "rna002"
+    means, c1, c2 = model.score_params()
+    A, S = model.alphabet_size, model.kmer_size
+    nt = NT_TRANSITIONS[pore]
+    log_m1, log_e2 = math.log(nt["m1"]), math.log(nt["e2"])
+    dtype = jnp.float32
+    s = setup
+    full = s["plan"]
+
+    sigs, kids = [], []
+    for j in range(npk.R):
+        sig, read = make_read(model, n_bases=20 + (j % 3) * 5, seed=j)
+        sigs.append(sig)
+        kids.append(np.asarray(seq_to_kmer_ids(read, S, A), np.int32))
+    T_arr = np.array([len(x) + 1 for x in sigs], np.int32)
+    N_arr = np.array([len(k) + 1 for k in kids], np.int32)
+    T_pad = round_up(int(T_arr.max()), npk.C_BWD * npk.C_PV)
+    N2 = round_up(int(N_arr.max()), 16)
+    sigp = np.zeros((npk.R, T_pad - 1), np.float32)
+    kidp = np.zeros((npk.R, N2 - 1), np.int32)
+    for j in range(npk.R):
+        sigp[j, : T_arr[j] - 1] = sigs[j]
+        kidp[j, : N_arr[j] - 1] = kids[j]
+    mt = jnp.asarray(means, dtype)
+    sdt = jnp.asarray(model.stdevs, dtype)
+    c1t, c2t = jnp.asarray(c1, dtype), jnp.asarray(c2, dtype)
+    sigj, kidj = jnp.asarray(sigp), jnp.asarray(kidp)
+    T_r, N_r = jnp.asarray(T_arr), jnp.asarray(N_arr)
+    CN, CK0 = npk.CN, npk.CK - npk.CN
+    pn = nb.pre_tn_batch(sigj, kidj, N_r, T_r, mt, sdt, log_m1, log_e2,
+                         CN, dtype)
+    pk = nb.pre_tk_batch(sigj, T_r, mt, c1t, c2t, log_m1, log_e2, A,
+                         CK0, dtype)
+    lite, _ = nb.build_plan_batch(pn.cand, pn.cnt, pk.cand, pk.cnt,
+                                  kidj, N_r, mt, c1t, c2t, A, S, dtype,
+                                  lite=True)
+    dropped = {"col_same", "col_prec", "bcol_same", "bcol_suc"}
+    for name in full._fields:
+        if name in dropped:
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(getattr(lite, name)),
+            np.asarray(getattr(full, name)), err_msg=name)
 
 
 @pytest.mark.slow
