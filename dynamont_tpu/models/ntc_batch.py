@@ -189,9 +189,11 @@ class NTCBatchEngine:
             import os
 
             env = os.environ.get("DYNAMONT_NTC_PALLAS", "auto")
+            # the axon PJRT plugin registers the TPU as platform "axon"
             pallas = (
                 env != "0"
-                and (env == "1" or jax.devices()[0].platform == "tpu")
+                and (env == "1"
+                     or jax.devices()[0].platform in ("tpu", "axon"))
                 and jnp.dtype(dtype) == jnp.float32
             )
         if pallas:
