@@ -297,10 +297,15 @@ class NTCBatchEngine:
         for j, i in enumerate(gidx):
             it = items[i]
             T, N = int(T_arr[j]), int(N_arr[j])
-            if (
-                host["ovf_tn"][j] or host["ovf_tk"][j] or host["seg_ovf"][j]
-                or not host["valid_start"][j]
-            ):
+            flags = [
+                f for f in ("ovf_tn", "ovf_tk", "seg_ovf") if host[f][j]
+            ]
+            if not host["valid_start"][j]:
+                flags.append("no_valid_start")
+            if flags:
+                if not self.fallback:
+                    print(f"ntc fallback[{i}]: {','.join(flags)}",
+                          file=sys.stderr)
                 retry.append(i)
                 continue
             err = self._z_errors(host, j, T, N, K)
