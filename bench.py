@@ -91,7 +91,20 @@ def bench_ntc(model, items, metrics):
         max_batch_samples=2**22, fallback=False,
     )
     n = 16
-    warm = eng.run(items[:16])
+    try:
+        warm = eng.run(items[:16])
+    except Exception as e:
+        if not eng.pallas:
+            raise
+        # Mosaic path failed to compile/run: report the scan path rather
+        # than no NTC number at all
+        print(f"ntc pallas path failed ({e}); scan fallback",
+              file=sys.stderr)
+        eng = NTCBatchEngine(
+            model, "rna002", dtype=jnp.float32, batch_size=16,
+            max_batch_samples=2**22, fallback=False, pallas=False,
+        )
+        warm = eng.run(items[:16])
     t0 = time.perf_counter()
     outs = eng.run(items[16:16 + n])
     dt = time.perf_counter() - t0

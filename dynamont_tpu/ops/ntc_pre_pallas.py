@@ -25,7 +25,6 @@ closure constants XLA would fold them, memory: constant-gather trap).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

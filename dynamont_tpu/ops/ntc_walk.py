@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dynamont_tpu.ops.ntc_batch import (
     A_ST, E_ST, I_ST, P_ST, S_ST, _final_row_masks,
