@@ -28,6 +28,7 @@ from dynamont_tpu.models.nt import _validate
 from dynamont_tpu.ops import ntc_batch as nb
 from dynamont_tpu.ops import ntc_walk as nw
 from dynamont_tpu.utils.kmer import int2kmer, seq_to_kmer_ids
+from dynamont_tpu.utils.logmath import logsumexp
 from dynamont_tpu.utils.pore_model import PoreModel
 
 FP32_EPSILON = 1e-6  # per-cell Z tolerance for fp32 (see BASELINE.md)
@@ -142,6 +143,125 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
                    interpret=interpret)
 
     return call
+
+
+def make_ntc_train_fn(model: PoreModel, pore: str,
+                      transition_overrides: dict | None = None):
+    """Jitted bucket Baum-Welch program (Mosaic kernel path, fp32,
+    R=16): (sig, kmer_ids, T, N) -> per-read raw training accumulators.
+    Mirrors the per-read ops/ntc_train path (ref: NTC.cpp:923-1130);
+    host post-processing: trans_from_terms / emissions_from_moments."""
+    ntk = resolve_transitions(NTK_TRANSITIONS[pore], transition_overrides)
+    trans_log = {k: math.log(v) for k, v in ntk.items()}
+    nt = NT_TRANSITIONS[pore]
+    log_ppm, log_ppe = math.log(nt["m1"]), math.log(nt["e2"])
+    means, c1, c2 = model.score_params()
+    dtype = jnp.float32
+    means_t = jax.device_put(jnp.asarray(means, dtype))
+    sd_t = jax.device_put(jnp.asarray(model.stdevs, dtype))
+    c1_t = jax.device_put(jnp.asarray(c1, dtype))
+    c2_t = jax.device_put(jnp.asarray(c2, dtype))
+    A = model.alphabet_size
+    S = model.kmer_size
+    K = model.num_kmers
+
+    @functools.partial(
+        jax.jit, static_argnames=("CN", "CK0", "interpret")
+    )
+    def run(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a, CN, CK0,
+            interpret=False):
+        from dynamont_tpu.ops import ntc_pallas as npk
+        from dynamont_tpu.ops import ntc_pre_pallas as npp
+
+        pn = npp.pre_tn_pallas(sig, kmer_ids, N_r, T_r, mu, sd,
+                               log_ppm, log_ppe, CN, interpret=interpret)
+        pk = npp.pre_tk_pallas(sig, T_r, mu, c1a, c2a, log_ppm, log_ppe,
+                               A, CK0, interpret=interpret)
+        plan, dims = nb.build_plan_batch(
+            pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
+            mu, c1a, c2a, A, S, dtype, lite=True,
+        )
+        R = dims[0]
+        sigd = sig.astype(dtype)
+        packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K)
+        fwd = npk.ntc_fwd_store_pallas(packs, trans_log,
+                                       interpret=interpret)
+        rows = (npk.E_ST * npk.RC
+                + jnp.arange(R)[:, None] * npk.CN
+                + jnp.arange(npk.CN)[None, :])
+        fwdE_final = fwd[(T_r - 1)[:, None], rows, :]     # (R, CN, CK)
+        Zf3 = nb.ntc_zf_batch(plan, dims, fwdE_final, N_r, T_r)
+        tacc, em, b0 = npk.ntc_train_pallas(
+            packs, fwd, packs.ksT, Zf3, trans_log, interpret=interpret)
+        bwd0 = (b0.reshape(5, R, npk.CN, npk.CK)
+                .transpose(1, 0, 2, 3).reshape(R, -1))
+        Zb3 = nb.ntc_zb_batch(plan, dims, bwd0)
+        term_lse = logsumexp(
+            tacc.reshape(npk.N_TERMS, R, npk.CN, npk.CK), axis=(2, 3))
+        return dict(
+            Zf_tn=pn.Zf, Zb_tn=pn.Zb, ovf_tn=pn.overflow,
+            Zf_tk=pk.Zf, Zb_tk=pk.Zb, ovf_tk=pk.overflow,
+            Zf=Zf3, Zb=Zb3, term_lse=term_lse,
+            em=em.reshape(R, 3, K),
+        )
+
+    def call(sig, kmer_ids, T_r, N_r, CN: int, CK0: int,
+             interpret: bool = False):
+        return run(sig, kmer_ids, T_r, N_r, means_t, sd_t, c1_t, c2_t,
+                   CN=CN, CK0=CK0, interpret=interpret)
+
+    return call
+
+
+def trans_from_terms(term_lse: np.ndarray) -> dict:
+    """Per-read transition probabilities from the 13 raw term logsumexps
+    (normalization groups, ref: NTC.cpp:1003-1030; mirrors the tail of
+    ops/ntc_train.train_transitions)."""
+    from dynamont_tpu.ops.ntc_pallas import TERMS
+
+    acc = {nm: float(v) for nm, v in zip(TERMS, term_lse)}
+
+    def lsum(vals):
+        fin = [v for v in vals if not math.isinf(v)]
+        if not fin:
+            return -math.inf
+        m = max(fin)
+        return m + math.log(
+            sum(math.exp(v - m) for v in vals if not math.isinf(v)))
+
+    out = dict(acc)
+    for group in (("a1", "s2", "e4", "i1", "p2"), ("e3", "p1"),
+                  ("e2", "s1"), ("a2", "i2", "p3", "s3")):
+        g = lsum([acc[k] for k in group])
+        if not math.isinf(g):
+            for k in group:
+                out[k] = acc[k] - g
+    result = {k: math.exp(v) for k, v in out.items()}
+    result["e1"] = 1.0
+    return result
+
+
+def emissions_from_moments(em: np.ndarray, model: PoreModel) -> dict:
+    """Per-read k-mer (mean, stdev) dict from the centered moment sums
+    em (3, K) = [w, w*(s-mu_k), w*(s-mu_k)^2] (trainEmission,
+    ref: NTC.cpp:1059-1130; threshold/selection as ops/ntc_train)."""
+    from dynamont_tpu.ops.ntc_train import TRAIN_THRESHOLD
+
+    norm, s1, s2 = em[0], em[1], em[2]
+    nz = norm != 0
+    safe = np.where(nz, norm, 1.0)
+    d = s1 / safe
+    keep = norm >= TRAIN_THRESHOLD
+    var = np.where(keep & nz, np.maximum(s2 / safe - d * d, 0.0), 0.0)
+    means = np.where(nz, np.asarray(model.means) + d, 0.0)
+    stdevs = np.sqrt(var)
+    out = {}
+    for k in range(model.num_kmers):
+        if stdevs[k] != 0.0:
+            kmer = int2kmer(k, model.alphabet_size, model.kmer_size,
+                            model.rna)
+            out[kmer] = (float(means[k]), float(stdevs[k]))
+    return out
 
 
 class NTCBatchEngine:

@@ -85,6 +85,7 @@ class NTCPacks(NamedTuple):
     nrow: jax.Array   # (T, NS, 128) f32
     kcol: jax.Array   # (T, NKS, 16, CK) f32
     suc: jax.Array    # (T, NSS, 16, ACK) f32
+    ksT: jax.Array    # (T, CK, 16) f32: masked ks of column t, slot-major
     ksTp: jax.Array   # (T, CK, 16) f32: masked ks of column t-1, slot-major
     ksTn: jax.Array   # (T, CK, 16) f32: masked ks of column t+1, slot-major
     alw: jax.Array    # (T, 128, CK) int8
@@ -179,7 +180,7 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int) -> NTCPacks:
           | (plan.hd1s.astype(jnp.int32) << 8)
           | (plan.hd2s.astype(jnp.int32) << 12)
           ).astype(jnp.int16).reshape(T_pad, RC, CK)
-    return NTCPacks(nrow, kcol, suc, ksTp, ksTn, alw, hd, T_pad, K)
+    return NTCPacks(nrow, kcol, suc, ksT, ksTp, ksTn, alw, hd, T_pad, K)
 
 
 # ---------------------------------------------------------------------------
@@ -983,3 +984,398 @@ def ntc_walk_pallas(packs: NTCPacks, lp, choices, slots, i0, j0, k0,
     seg_cnt = fin[:, W_SEG].astype(jnp.int32)
     stuck = fin[:, W_STUCK] > 0.5
     return seg_cnt, st_a, bp_a, start_a, k_a, med, (seg_cnt > S_max) | stuck
+
+
+# ---------------------------------------------------------------------------
+# Baum-Welch training kernels (ref trainParams: NTC.cpp:923-1130; per-read
+# XLA path: ops/ntc_train.py)
+# ---------------------------------------------------------------------------
+#
+# Training needs expectation sums E[fwd(t) + trans + score + bwd(t+1)] over
+# every transition class, plus posterior-weighted per-k-mer signal moments.
+# Two kernels:
+#   * a forward-store kernel (the pv kernel's forward half) writes the full
+#     (T, 640, 128) forward lattice;
+#   * a train kernel re-runs the BACKWARD recurrence (its carries naturally
+#     hold column t+1 while processing column t — exactly the pairing the
+#     transition terms need), reads the forward store, and keeps 13 running
+#     per-cell logaddexp accumulators + centered per-k-mer moment sums
+#     (accumulated about the model mean mu_k to avoid cancellation; fp32 —
+#     the per-read fp64 path remains the parity baseline).
+
+TERMS = ("e2", "e3", "e4", "s1", "s2", "s3", "p1", "p2", "p3",
+         "a1", "a2", "i1", "i2")
+N_TERMS = 13
+
+
+def _fwd_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
+                fwd_ref, fA, fP, fS, fE, fI, *, C, tl, K):
+    ci = pl.program_id(0)
+
+    @pl.when(ci == 0)
+    def _():
+        for st in (fA, fP, fS, fE, fI):
+            st[...] = jnp.full((RC, CK), NEG_INF, jnp.float32)
+
+    E = _expand16()
+
+    def body(i, _):
+        t = ci * C + i
+        nT = jnp.transpose(nrow_ref[i])
+        col = lambda s: nT[:, s:s + 1]
+        mu_n, c1_n, c2_n = col(MU_N), col(C1_N), col(C2_N)
+        sig_tm1 = col(SIG_TM1)
+
+        alwf = alw_ref[i].astype(jnp.float32)
+        ok = (col(NPOS) * alwf) > 0.5
+        cond = (col(CHAINF) * col(NPOS) * alwf) > 0.5
+        n0alw = (col(N0) * alwf) > 0.5
+        hd1, _, _, _ = _unpack_hd(hd_ref[i])
+
+        mu_k16 = kcol_ref[i, K_MU]
+        c1_k16 = kcol_ref[i, K_C1]
+        c2_k16 = kcol_ref[i, K_C2]
+        sg16m = kcol_ref[i, K_SIGM1][:, 0:1]
+        dkm = sg16m - mu_k16
+        sck = _exp16(E, c1_k16 - c2_k16 * dkm * dkm)
+
+        d_n = sig_tm1 - mu_n
+        scn = c1_n - c2_n * d_n * d_n
+        sc = scn + sck - 2.0 * hd1
+        init_col = jnp.where(n0alw, 0.0, NEG_INF)
+
+        geP_E, geP_I, geP_P = _row_gather(
+            col(ROW_PREV), [fE[...], fI[...], fP[...]])
+        geS_A, geS_P, geS_S, geS_E, geS_I = _row_gather(
+            col(ROW_SAME), [fA[...], fP[...], fS[...], fE[...], fI[...]])
+        ks_cur = kcol_ref[i, K_KS]
+        f_same, f_suc = _col_gather(
+            [geP_E, geP_I, geP_P, geS_A, geS_P, geS_S, geS_E, geS_I],
+            ksTp_ref[i], _dst_vals(ks_cur, K, "same"),
+            _dst_vals(ks_cur, K, "prec"))
+
+        a_terms = []
+        p_terms = []
+        for ai in range(A):
+            sl = lambda g: g[:, ai * CK:(ai + 1) * CK]
+            a_terms += [sl(f_suc[0]) + tl["a1"], sl(f_suc[1]) + tl["a2"]]
+            p_terms += [sl(f_suc[5]) + tl["p1"], sl(f_suc[6]) + tl["p2"],
+                        sl(f_suc[7]) + tl["p3"]]
+        a_new = jnp.where(ok, _lse(a_terms) + sc, NEG_INF)
+        p_new = jnp.where(ok, _lse(p_terms) + sc, NEG_INF)
+        s_new = jnp.where(ok, _lse(
+            [f_same[2] + tl["s1"], f_same[0] + tl["s2"],
+             f_same[1] + tl["s3"]]) + sc, NEG_INF)
+        e_new = jnp.where(ok, _lse(
+            [f_same[3], f_same[4] + tl["e2"], f_same[5] + tl["e3"],
+             f_same[6] + tl["e4"]]) + sc, NEG_INF)
+
+        e_above = _roll_grp(e_new, 1, NEG_INF, up=True)
+        iA = jnp.where(cond, e_above + tl["i1"] + sc, NEG_INF)
+        iB = jnp.where(cond, tl["i2"] + sc, NEG_INF)
+        i_new = _affine_chain(iA, iB, up=True, maxplus=False)
+
+        fwd_cols = [a_new, p_new, s_new, e_new, i_new]
+        t0 = t == 0
+        fwd_cols = [
+            jnp.where(t0, init_col if st == E_ST else NEG_INF, v)
+            for st, v in enumerate(fwd_cols)
+        ]
+        fA[...], fP[...], fS[...], fE[...], fI[...] = fwd_cols
+        for st, v in enumerate(fwd_cols):
+            fwd_ref[i, st * RC:(st + 1) * RC] = v
+        return 0
+
+    jax.lax.fori_loop(0, C, body, 0)
+
+
+def ntc_fwd_store_pallas(packs: NTCPacks, trans_log,
+                         interpret: bool = False):
+    """(T_pad, 640, 128) f32 forward store (pv kernel's forward half)."""
+    T_pad = packs.T_pad
+    C = C_PV
+    assert T_pad % C == 0
+    nc = T_pad // C
+    tl = {k: np.float32(v) for k, v in trans_log.items()}
+    kernel = functools.partial(_fwd_kernel, C=C, tl=tl, K=packs.K)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((C, NS, RC), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NKS, R, CK), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NSS, R, ACK), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, CK, R), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, 5 * RC, CK), lambda c: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32) for _ in range(5)],
+        interpret=interpret,
+    )(packs.nrow, packs.kcol, packs.suc, packs.ksTp, packs.alw, packs.hd)
+    return out
+
+
+def _train_kernel(nrow_ref, kcol_ref, suc_ref, ksTn_ref, ksT_ref, alw_ref,
+                  hd_ref, fwd_ref, z_ref, tacc_ref, em_ref, b0_ref, *scr,
+                  C, nc, tl, K):
+    stA, stP, stS, stE, stI = scr[:5]
+    accs = scr[5:5 + N_TERMS]
+    em = scr[5 + N_TERMS]
+    ci = pl.program_id(0)
+    chunk = nc - 1 - ci
+
+    @pl.when(ci == 0)
+    def _():
+        for st in (stA, stP, stS, stE, stI):
+            st[...] = jnp.full((RC, CK), NEG_INF, jnp.float32)
+        for a in accs:
+            a[...] = jnp.full((RC, CK), NEG_INF, jnp.float32)
+        em[...] = jnp.zeros((3 * R, K), jnp.float32)
+
+    E = _expand16()
+    zcol = z_ref[...]
+    kiota = jax.lax.broadcasted_iota(jnp.float32, (CK, K), 1)
+    r3 = (jax.lax.broadcasted_iota(jnp.int32, (3, 3 * CN), 1) // CN
+          == jax.lax.broadcasted_iota(jnp.int32, (3, 3 * CN), 0)
+          ).astype(jnp.float32)
+
+    def body(i2, _):
+        i = C - 1 - i2
+        t = chunk * C + i
+        nT = jnp.transpose(nrow_ref[i])
+        col = lambda s: nT[:, s:s + 1]
+        mu_n, c1_n, c2_n = col(MU_N), col(C1_N), col(C2_N)
+        mu_n2, c1_n2, c2_n2 = col(MU_N2), col(C1_N2), col(C2_N2)
+        n_pos = col(NPOS) > 0.5
+        n_lt = col(NLT) > 0.5
+        chup = col(CHAINUP) > 0.5
+        d01, d02 = col(D01), col(D02)
+        is_term = col(ISTERM) > 0.5
+        dead_r = col(DEAD) > 0.5
+        sig_t, sig_tm1 = col(SIG_T), col(SIG_TM1)
+
+        alwf = alw_ref[i].astype(jnp.float32)
+        alw = alwf > 0.5
+        rowNalw = (col(ROWN) * alwf) > 0.5
+        hd1, hd2, hd1s, hd2s = _unpack_hd(hd_ref[i])
+
+        mu_k16 = kcol_ref[i, K_MU]
+        c1_k16 = kcol_ref[i, K_C1]
+        c2_k16 = kcol_ref[i, K_C2]
+        sg16 = kcol_ref[i, K_SIG][:, 0:1]
+        sg16m = kcol_ref[i, K_SIGM1][:, 0:1]
+        dk = sg16 - mu_k16
+        sck = _exp16(E, c1_k16 - c2_k16 * dk * dk)
+        dkm = sg16m - mu_k16
+        sck_m1 = _exp16(E, c1_k16 - c2_k16 * dkm * dkm)
+
+        d_n = sig_t - mu_n
+        scn = c1_n - c2_n * d_n * d_n
+        d_n2 = sig_t - mu_n2
+        scn2 = c1_n2 - c2_n2 * d_n2 * d_n2
+        sc1 = scn + sck - 2.0 * hd1
+        sc2 = scn2 + sck - 2.0 * hd2
+
+        gnsE, gnsP = _row_gather(col(BROW_SAME), [stE[...], stP[...]])
+        gnnS, gnnA = _row_gather(col(BROW_NEXT), [stS[...], stA[...]])
+
+        ks_cur = kcol_ref[i, K_KS]
+        gk_same, gk_suc = _col_gather(
+            [gnsE, gnnS, gnsP, gnnA], ksTn_ref[i],
+            _dst_vals(ks_cur, K, "same"), _dst_vals(ks_cur, K, "suc"))
+        gskE, gnkS = gk_same[0], gk_same[1]
+        gspP, gnaA = gk_suc[2], gk_suc[3]
+
+        a_new = jnp.where(n_pos, gskE + sc1, NEG_INF)
+        p_new = jnp.logaddexp(
+            jnp.where(n_pos, gskE + tl["e2"] + sc1, NEG_INF),
+            jnp.where(n_lt, gnkS + tl["s1"] + sc2, NEG_INF),
+        )
+
+        mu_s16 = suc_ref[i, S_MU]
+        c1_s16 = suc_ref[i, S_C1]
+        c2_s16 = suc_ref[i, S_C2]
+        dsu = sg16 - mu_s16
+        scs = _exp16(E, c1_s16 - c2_s16 * dsu * dsu)
+
+        # forward columns of THIS t (terms pair fwd[t] with bwd[t+1])
+        f_t = [fwd_ref[i, st * RC:(st + 1) * RC] for st in range(5)]
+        fAt, fPt, fSt, fEt, fIt = f_t
+
+        base_s = jnp.where(n_pos, gskE + tl["e3"] + sc1, NEG_INF)
+        base_e = jnp.where(n_pos, gskE + tl["e4"] + sc1, NEG_INF)
+        gnkS2 = gnkS + sc2
+        s_terms = [base_s]
+        e_terms = [base_e]
+        i_terms = []
+        tacc = {}
+        # transition expectations sharing the bwd pass's gathered terms
+        # (ref: NTC.cpp:935-989; XLA: ntc_train.train_transitions)
+        tacc["e2"] = jnp.where(n_pos, fPt + tl["e2"] + sc1 + gskE, NEG_INF)
+        tacc["e3"] = jnp.where(n_pos, fSt + tl["e3"] + sc1 + gskE, NEG_INF)
+        tacc["e4"] = jnp.where(n_pos, fEt + tl["e4"] + sc1 + gskE, NEG_INF)
+        tacc["s1"] = jnp.where(n_lt, fPt + tl["s1"] + sc2 + gnkS, NEG_INF)
+        tacc["s2"] = jnp.where(n_lt, fEt + tl["s2"] + sc2 + gnkS, NEG_INF)
+        tacc["s3"] = jnp.where(n_lt, fIt + tl["s3"] + sc2 + gnkS, NEG_INF)
+        for nm in ("p1", "p2", "p3", "a1", "a2"):
+            tacc[nm] = jnp.full((RC, CK), NEG_INF, jnp.float32)
+        for ai in range(A):
+            scs_ai = scs[:, ai * CK:(ai + 1) * CK]
+            m1 = jnp.where(d01 != float(ai), 1.0, 0.0)
+            m2 = jnp.where(d02 != float(ai), 1.0, 0.0)
+            sc1s = scn + scs_ai - 2.0 * (hd1s + m1)
+            sc2s = scn2 + scs_ai - 2.0 * (hd2s + m2)
+            gspP_ai = jnp.where(
+                n_pos, gspP[:, ai * CK:(ai + 1) * CK] + sc1s, NEG_INF)
+            gnaA_ai = jnp.where(
+                n_lt, gnaA[:, ai * CK:(ai + 1) * CK] + sc2s, NEG_INF)
+            s_terms.append(gspP_ai + tl["p1"])
+            e_terms.append(gspP_ai + tl["p2"])
+            e_terms.append(gnaA_ai + tl["a1"])
+            i_terms.append(gspP_ai + tl["p3"])
+            i_terms.append(gnaA_ai + tl["a2"])
+            tacc["p1"] = jnp.logaddexp(tacc["p1"],
+                                       fSt + tl["p1"] + gspP_ai)
+            tacc["p2"] = jnp.logaddexp(tacc["p2"],
+                                       fEt + tl["p2"] + gspP_ai)
+            tacc["p3"] = jnp.logaddexp(tacc["p3"],
+                                       fIt + tl["p3"] + gspP_ai)
+            tacc["a1"] = jnp.logaddexp(tacc["a1"],
+                                       fEt + tl["a1"] + gnaA_ai)
+            tacc["a2"] = jnp.logaddexp(tacc["a2"],
+                                       fIt + tl["a2"] + gnaA_ai)
+        e_terms.append(jnp.where(n_lt, gnkS2 + tl["s2"], NEG_INF))
+        i_terms.append(jnp.where(n_lt, gnkS2 + tl["s3"], NEG_INF))
+        s_new = _lse(s_terms)
+        e_new = _lse(e_terms)
+        i_new = _lse(i_terms)
+
+        d_nm1 = sig_tm1 - mu_n2
+        scn2_m1 = c1_n2 - c2_n2 * d_nm1 * d_nm1
+        sc_i = scn2_m1 + sck_m1 - 2.0 * hd2
+        ok_i = chup & (t > 0) & n_lt
+        iB = jnp.where(ok_i, tl["i2"] + sc_i, NEG_INF)
+        i_full = _affine_chain(i_new, iB, up=False, maxplus=False)
+        i_below = _roll_grp(i_full, 1, NEG_INF, up=False)
+        e_new = jnp.logaddexp(
+            e_new, jnp.where(ok_i, i_below + tl["i1"] + sc_i, NEG_INF))
+        i_new = i_full
+
+        outs = []
+        termE = jnp.where(rowNalw, 0.0, NEG_INF)
+        for st_idx, v in ((A_ST, a_new), (P_ST, p_new), (S_ST, s_new),
+                          (E_ST, e_new), (I_ST, i_new)):
+            v = jnp.where(alw, v, NEG_INF)
+            term = termE if st_idx == E_ST else jnp.full_like(v, NEG_INF)
+            v = jnp.where(is_term, term, jnp.where(dead_r, NEG_INF, v))
+            outs.append(v)
+        stA[...], stP[...], stS[...], stE[...], stI[...] = outs
+
+        # i1/i2 within-column terms (ref: NTC.cpp:990-999): the stored
+        # (masked) I of the slot above, same column
+        bI_up = _roll_grp(outs[I_ST], 1, NEG_INF, up=False)
+        tacc["i1"] = jnp.where(ok_i, fEt + tl["i1"] + sc_i + bI_up,
+                               NEG_INF)
+        tacc["i2"] = jnp.where(ok_i, fIt + tl["i2"] + sc_i + bI_up,
+                               NEG_INF)
+        for a_ref, nm in zip(accs, TERMS):
+            a_ref[...] = jnp.logaddexp(a_ref[...], tacc[nm])
+
+        # posterior-weighted k-mer moments about mu_k (trainEmission,
+        # ref: NTC.cpp:1059-1130): w = exp(lse_states(fwd + bwd - Z)),
+        # binned by k-mer VALUE on the MXU
+        lw = f_t[0] + outs[0] - zcol
+        for st in range(1, 5):
+            lw = jnp.logaddexp(lw, f_t[st] + outs[st] - zcol)
+        w = jnp.where(alw & (t >= 1), jnp.exp(lw), 0.0)
+        mu_ck = _exp16(E, mu_k16)
+        dmu = sig_tm1 - mu_ck
+        wd = w * dmu
+        wdd = wd * dmu
+        ksT_col = ksT_ref[i]
+        for r in range(R):
+            oh = (ksT_col[:, r:r + 1] == kiota).astype(jnp.float32)
+            x_r = jnp.concatenate(
+                [w[r * CN:(r + 1) * CN], wd[r * CN:(r + 1) * CN],
+                 wdd[r * CN:(r + 1) * CN]], axis=0)        # (24, CK)
+            y = jnp.dot(r3, jnp.dot(x_r, oh,
+                                    preferred_element_type=jnp.float32,
+                                    precision=PREC),
+                        preferred_element_type=jnp.float32,
+                        precision=PREC)                    # (3, K)
+            em[r * 3:(r + 1) * 3] = em[r * 3:(r + 1) * 3] + y
+        return 0
+
+    jax.lax.fori_loop(0, C, body, 0)
+    off = 0
+    for a_ref in accs:
+        tacc_ref[off:off + RC] = a_ref[...]
+        off += RC
+    em_ref[...] = em[...]
+    for st_idx, st in enumerate((stA, stP, stS, stE, stI)):
+        b0_ref[st_idx * RC:(st_idx + 1) * RC] = st[...]
+
+
+def ntc_train_pallas(packs: NTCPacks, fwd, ksT, Z_norm, trans_log,
+                     interpret: bool = False):
+    """Batched Baum-Welch accumulators. fwd: (T, 640, 128) forward store
+    (ntc_fwd_store_pallas); ksT (T, CK, 16): masked k-mer values
+    slot-major (column t itself). Returns (tacc (13*128, 128) per-cell
+    term accumulators in TERMS order, em (3*16, K) centered moment sums
+    [w, w*(s-mu_k), w*(s-mu_k)^2] per read, b0 (5*128, 128) backward
+    column 0 for the Zb gate)."""
+    T_pad = packs.T_pad
+    C = C_BWD
+    assert T_pad % C == 0
+    nc = T_pad // C
+    tl = {k: np.float32(v) for k, v in trans_log.items()}
+    K = packs.K
+    kernel = functools.partial(_train_kernel, C=C, nc=nc, tl=tl, K=K)
+    rev3 = lambda c: (nc - 1 - c, 0, 0)
+    rev4 = lambda c: (nc - 1 - c, 0, 0, 0)
+    zcol = jnp.repeat(Z_norm.astype(jnp.float32), CN)[:, None]
+    tacc, em, b0 = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((C, NS, RC), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NKS, R, CK), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NSS, R, ACK), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, CK, R), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, CK, R), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 5 * RC, CK), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((RC, 1), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((N_TERMS * RC, CK), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * R, K), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5 * RC, CK), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N_TERMS * RC, CK), jnp.float32),
+            jax.ShapeDtypeStruct((3 * R, K), jnp.float32),
+            jax.ShapeDtypeStruct((5 * RC, CK), jnp.float32),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RC, CK), jnp.float32)] * (5 + N_TERMS)
+            + [pltpu.VMEM((3 * R, K), jnp.float32)]
+        ),
+        interpret=interpret,
+    )(packs.nrow, packs.kcol, packs.suc, packs.ksTn, ksT, packs.alw,
+      packs.hd, fwd, zcol)
+    return tacc, em, b0

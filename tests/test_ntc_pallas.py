@@ -288,6 +288,59 @@ def test_pre_pass_kernels_match_scan(setup):
 
 
 @pytest.mark.slow
+def test_train_kernels_match_per_read(setup):
+    """Batched Baum-Welch kernels (fwd store + train accumulators) vs the
+    exact per-read fp64 path (models/ntc.run_ntc mode=train)."""
+    from dynamont_tpu.models.ntc import run_ntc
+    from dynamont_tpu.models.ntc_batch import (
+        emissions_from_moments, make_ntc_train_fn, trans_from_terms,
+    )
+
+    model = load_model_for_pore("rna002")
+    sigs, reads = [], []
+    for s in range(npk.R):
+        sig, read = make_read(model, n_bases=20 + (s % 3) * 5, seed=s)
+        sigs.append(sig)
+        reads.append(read)
+    A, S = model.alphabet_size, model.kmer_size
+    kids = [np.asarray(seq_to_kmer_ids(r, S, A), np.int32) for r in reads]
+    T_arr = np.array([len(s) + 1 for s in sigs], np.int32)
+    N_arr = np.array([len(k) + 1 for k in kids], np.int32)
+    T_pad = round_up(int(T_arr.max()), npk.C_BWD * npk.C_PV)
+    N2 = round_up(int(N_arr.max()), 128)
+    sigp = np.zeros((npk.R, T_pad - 1), np.float32)
+    kidp = np.zeros((npk.R, N2 - 1), np.int32)
+    for j in range(npk.R):
+        sigp[j, : T_arr[j] - 1] = sigs[j]
+        kidp[j, : N_arr[j] - 1] = kids[j]
+
+    fn = make_ntc_train_fn(model, "rna002")
+    res = fn(jnp.asarray(sigp), jnp.asarray(kidp), jnp.asarray(T_arr),
+             jnp.asarray(N_arr), CN=npk.CN, CK0=npk.CK - npk.CN,
+             interpret=True)
+    term_lse = np.asarray(res["term_lse"])
+    em = np.asarray(res["em"])
+    Zf = np.asarray(res["Zf"])
+
+    for r in range(0, 3):
+        ref = run_ntc(sigs[r], reads[r], model, "rna002", mode="train")
+        assert abs(Zf[r] - ref.Z) < 2e-2, (Zf[r], ref.Z)
+        trans = trans_from_terms(term_lse[:, r])
+        for k, v in ref.trained_transitions.items():
+            assert trans[k] == pytest.approx(v, rel=2e-3, abs=1e-6), k
+        emis = emissions_from_moments(em[r], model)
+        ref_e = ref.trained_emissions
+        common = set(emis) & set(ref_e)
+        # threshold-boundary k-mers (norm ~ 1e-7) may flip in fp32
+        assert len(common) >= 0.95 * max(len(emis), len(ref_e))
+        for kmer in common:
+            assert emis[kmer][0] == pytest.approx(
+                ref_e[kmer][0], rel=1e-4, abs=1e-3), kmer
+            assert emis[kmer][1] == pytest.approx(
+                ref_e[kmer][1], rel=5e-3, abs=1e-3), kmer
+
+
+@pytest.mark.slow
 def test_engine_pallas_path_matches_scan_path(setup):
     """Full NTCBatchEngine wiring (packs + 3 kernels + finish) vs scan."""
     from dynamont_tpu.models.batch import BatchItem
