@@ -145,34 +145,22 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
     return call
 
 
-def make_ntc_train_fn(model: PoreModel, pore: str,
-                      transition_overrides: dict | None = None):
-    """Jitted bucket Baum-Welch program (Mosaic kernel path, fp32,
-    R=16): (sig, kmer_ids, T, N) -> per-read raw training accumulators.
-    Mirrors the per-read ops/ntc_train path (ref: NTC.cpp:923-1130);
-    host post-processing: trans_from_terms / emissions_from_moments."""
-    ntk = resolve_transitions(NTK_TRANSITIONS[pore], transition_overrides)
-    trans_log = {k: math.log(v) for k, v in ntk.items()}
-    nt = NT_TRANSITIONS[pore]
-    log_ppm, log_ppe = math.log(nt["m1"]), math.log(nt["e2"])
-    means, c1, c2 = model.score_params()
+@functools.lru_cache(maxsize=8)
+def _ntc_train_run(A: int, S: int, K: int, log_ppm: float, log_ppe: float):
+    """Module-cached jitted Baum-Welch bucket program: model tables AND
+    trained transitions are runtime arguments, so per-batch parameter
+    updates during training never retrace or recompile the kernels."""
     dtype = jnp.float32
-    means_t = jax.device_put(jnp.asarray(means, dtype))
-    sd_t = jax.device_put(jnp.asarray(model.stdevs, dtype))
-    c1_t = jax.device_put(jnp.asarray(c1, dtype))
-    c2_t = jax.device_put(jnp.asarray(c2, dtype))
-    A = model.alphabet_size
-    S = model.kmer_size
-    K = model.num_kmers
 
     @functools.partial(
         jax.jit, static_argnames=("CN", "CK0", "interpret")
     )
-    def run(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a, CN, CK0,
+    def run(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a, tl_arr, CN, CK0,
             interpret=False):
         from dynamont_tpu.ops import ntc_pallas as npk
         from dynamont_tpu.ops import ntc_pre_pallas as npp
 
+        trans_log = {k: tl_arr[i] for i, k in enumerate(npk.TL_KEYS)}
         pn = npp.pre_tn_pallas(sig, kmer_ids, N_r, T_r, mu, sd,
                                log_ppm, log_ppe, CN, interpret=interpret)
         pk = npp.pre_tk_pallas(sig, T_r, mu, c1a, c2a, log_ppm, log_ppe,
@@ -205,10 +193,34 @@ def make_ntc_train_fn(model: PoreModel, pore: str,
             em=em.reshape(R, 3, K),
         )
 
+    return run
+
+
+def make_ntc_train_fn(model: PoreModel, pore: str,
+                      transition_overrides: dict | None = None):
+    """Jitted bucket Baum-Welch program (Mosaic kernel path, fp32,
+    R=16): (sig, kmer_ids, T, N) -> per-read raw training accumulators.
+    Mirrors the per-read ops/ntc_train path (ref: NTC.cpp:923-1130);
+    host post-processing: trans_from_terms / emissions_from_moments."""
+    from dynamont_tpu.ops.ntc_pallas import TL_KEYS
+
+    ntk = resolve_transitions(NTK_TRANSITIONS[pore], transition_overrides)
+    nt = NT_TRANSITIONS[pore]
+    log_ppm, log_ppe = math.log(nt["m1"]), math.log(nt["e2"])
+    means, c1, c2 = model.score_params()
+    dtype = jnp.float32
+    means_t = jax.device_put(jnp.asarray(means, dtype))
+    sd_t = jax.device_put(jnp.asarray(model.stdevs, dtype))
+    c1_t = jax.device_put(jnp.asarray(c1, dtype))
+    c2_t = jax.device_put(jnp.asarray(c2, dtype))
+    tl_arr = jnp.asarray([math.log(ntk[k]) for k in TL_KEYS], dtype)
+    run = _ntc_train_run(model.alphabet_size, model.kmer_size,
+                         model.num_kmers, log_ppm, log_ppe)
+
     def call(sig, kmer_ids, T_r, N_r, CN: int, CK0: int,
              interpret: bool = False):
         return run(sig, kmer_ids, T_r, N_r, means_t, sd_t, c1_t, c2_t,
-                   CN=CN, CK0=CK0, interpret=interpret)
+                   tl_arr, CN=CN, CK0=CK0, interpret=interpret)
 
     return call
 
@@ -330,6 +342,7 @@ class NTCBatchEngine:
         self.cap_k = cap_k
         self.fallback = fallback
         self._fn = make_ntc_batch_fn(model, pore, transition_overrides, dtype)
+        self._train_fn = None  # built lazily by train()
         self._eps = EPSILON if jnp.dtype(dtype) == jnp.float64 else FP32_EPSILON
 
     # -- batching ----------------------------------------------------------
@@ -374,7 +387,7 @@ class NTCBatchEngine:
             outputs[i] = self._run_exact(items[i])
         return outputs  # type: ignore[return-value]
 
-    def _dispatch(self, gidx, items):
+    def _pad_bucket(self, gidx, items):
         R = len(gidx)
         T_arr = np.array([len(items[i].signal) + 1 for i in gidx], np.int32)
         kmer_ids = [
@@ -400,6 +413,10 @@ class NTCBatchEngine:
             kj = kmer_ids[j] if j < R else kmer_ids[0]
             sig[j, : T_arr[j] - 1] = items[i].signal
             kid[j, : N_arr[j] - 1] = kj
+        return T_arr, N_arr, sig, kid, N2
+
+    def _dispatch(self, gidx, items):
+        T_arr, N_arr, sig, kid, N2 = self._pad_bucket(gidx, items)
         # segment cap: one per base plus polish slack (overflow -> fallback)
         S_max = round_up(N2 + N2 // 4 + 64, 128)
         res = self._fn(
@@ -493,6 +510,68 @@ class NTCBatchEngine:
         # keeps a pathological read from raising OverflowError here
         scale = math.exp(min(diff, 700.0))
         return [(st, bp, t0, p * scale, pk) for st, bp, t0, p, pk in segs]
+
+    # -- training ----------------------------------------------------------
+    def train(self, items: list[BatchItem]) -> list:
+        """Per-read Baum-Welch estimates for a list of reads: the Mosaic
+        kernel path (ops/ntc_pallas train kernels) when available, the
+        exact per-read fp64 path otherwise and as the fallback for
+        cap-overflow / Z-gated reads. Returns, per read, either
+        (trained_transitions, trained_emissions, Z) or an Exception
+        (matching training.trainer._train_read's contract)."""
+        outputs: list = [None] * len(items)
+        valid: list[int] = []
+        for i, it in enumerate(items):
+            try:
+                _validate(len(it.signal), len(it.read),
+                          self.model.kmer_size)
+                valid.append(i)
+            except SystemExit as e:
+                outputs[i] = RuntimeError(
+                    f"input validation failed (reference exit {e.code})")
+        if not self.pallas:
+            for i in valid:
+                outputs[i] = self._train_exact(items[i])
+            return outputs
+        if self._train_fn is None:
+            self._train_fn = make_ntc_train_fn(
+                self.model, self.pore, self.overrides)
+        pending = []
+        for gidx in self._buckets(valid, items):
+            T_arr, N_arr, sig, kid, _ = self._pad_bucket(gidx, items)
+            res = self._train_fn(
+                jnp.asarray(sig), jnp.asarray(kid), jnp.asarray(T_arr),
+                jnp.asarray(N_arr), CN=self.cap_n, CK0=self.cap_k,
+                interpret=self.pallas_interpret,
+            )
+            pending.append((gidx, T_arr, N_arr, res))
+        K = self.model.num_kmers
+        for gidx, T_arr, N_arr, res in pending:
+            host = {k: np.asarray(v) for k, v in res.items()}
+            for j, i in enumerate(gidx):
+                T, N = int(T_arr[j]), int(N_arr[j])
+                err = None
+                if host["ovf_tn"][j] or host["ovf_tk"][j]:
+                    err = "cap overflow"
+                else:
+                    err = self._z_errors(host, j, T, N, K)
+                if err is not None:
+                    outputs[i] = self._train_exact(items[i])
+                    continue
+                trans = trans_from_terms(host["term_lse"][:, j])
+                emis = emissions_from_moments(host["em"][j], self.model)
+                outputs[i] = (trans, emis, float(host["Zf"][j]))
+        return outputs
+
+    def _train_exact(self, it: BatchItem):
+        from dynamont_tpu.models.ntc import run_ntc
+
+        try:
+            res = run_ntc(it.signal, it.read, self.model, self.pore,
+                          self.overrides, mode="train", validate=False)
+            return (res.trained_transitions, res.trained_emissions, res.Z)
+        except Exception as e:
+            return e
 
     def _run_exact(self, it: BatchItem) -> BatchOutput:
         """Exact per-read fp64 fallback for cap-overflow reads."""

@@ -1006,10 +1006,23 @@ def ntc_walk_pallas(packs: NTCPacks, lp, choices, slots, i0, j0, k0,
 TERMS = ("e2", "e3", "e4", "s1", "s2", "s3", "p1", "p2", "p3",
          "a1", "a2", "i1", "i2")
 N_TERMS = 13
+# the 13 trained NTK transitions, as an SMEM input so that training's
+# per-batch parameter updates do NOT recompile the kernels
+TL_KEYS = ("a1", "a2", "p1", "p2", "p3", "s1", "s2", "s3",
+           "e2", "e3", "e4", "i1", "i2")
 
 
-def _fwd_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
-                fwd_ref, fA, fP, fS, fE, fI, *, C, tl, K):
+def _tl_from_ref(tl_ref):
+    return {k: tl_ref[i] for i, k in enumerate(TL_KEYS)}
+
+
+def _tl_array(trans_log):
+    return jnp.asarray([trans_log[k] for k in TL_KEYS], jnp.float32)
+
+
+def _fwd_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref,
+                hd_ref, fwd_ref, fA, fP, fS, fE, fI, *, C, K):
+    tl = _tl_from_ref(tl_ref)
     ci = pl.program_id(0)
 
     @pl.when(ci == 0)
@@ -1096,12 +1109,12 @@ def ntc_fwd_store_pallas(packs: NTCPacks, trans_log,
     C = C_PV
     assert T_pad % C == 0
     nc = T_pad // C
-    tl = {k: np.float32(v) for k, v in trans_log.items()}
-    kernel = functools.partial(_fwd_kernel, C=C, tl=tl, K=packs.K)
+    kernel = functools.partial(_fwd_kernel, C=C, K=packs.K)
     out = pl.pallas_call(
         kernel,
         grid=(nc,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((C, NS, RC), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, NKS, R, CK), lambda c: (c, 0, 0, 0),
@@ -1120,13 +1133,15 @@ def ntc_fwd_store_pallas(packs: NTCPacks, trans_log,
         out_shape=jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), jnp.float32),
         scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32) for _ in range(5)],
         interpret=interpret,
-    )(packs.nrow, packs.kcol, packs.suc, packs.ksTp, packs.alw, packs.hd)
+    )(_tl_array(trans_log), packs.nrow, packs.kcol, packs.suc, packs.ksTp,
+      packs.alw, packs.hd)
     return out
 
 
-def _train_kernel(nrow_ref, kcol_ref, suc_ref, ksTn_ref, ksT_ref, alw_ref,
-                  hd_ref, fwd_ref, z_ref, tacc_ref, em_ref, b0_ref, *scr,
-                  C, nc, tl, K):
+def _train_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref, ksTn_ref, ksT_ref,
+                  alw_ref, hd_ref, fwd_ref, z_ref, tacc_ref, em_ref,
+                  b0_ref, *scr, C, nc, K):
+    tl = _tl_from_ref(tl_ref)
     stA, stP, stS, stE, stI = scr[:5]
     accs = scr[5:5 + N_TERMS]
     em = scr[5 + N_TERMS]
@@ -1337,9 +1352,8 @@ def ntc_train_pallas(packs: NTCPacks, fwd, ksT, Z_norm, trans_log,
     C = C_BWD
     assert T_pad % C == 0
     nc = T_pad // C
-    tl = {k: np.float32(v) for k, v in trans_log.items()}
     K = packs.K
-    kernel = functools.partial(_train_kernel, C=C, nc=nc, tl=tl, K=K)
+    kernel = functools.partial(_train_kernel, C=C, nc=nc, K=K)
     rev3 = lambda c: (nc - 1 - c, 0, 0)
     rev4 = lambda c: (nc - 1 - c, 0, 0, 0)
     zcol = jnp.repeat(Z_norm.astype(jnp.float32), CN)[:, None]
@@ -1347,6 +1361,7 @@ def ntc_train_pallas(packs: NTCPacks, fwd, ksT, Z_norm, trans_log,
         kernel,
         grid=(nc,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((C, NS, RC), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, NKS, R, CK), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, NSS, R, ACK), rev4, memory_space=pltpu.VMEM),
@@ -1376,6 +1391,6 @@ def ntc_train_pallas(packs: NTCPacks, fwd, ksT, Z_norm, trans_log,
             + [pltpu.VMEM((3 * R, K), jnp.float32)]
         ),
         interpret=interpret,
-    )(packs.nrow, packs.kcol, packs.suc, packs.ksTn, ksT, packs.alw,
-      packs.hd, fwd, zcol)
+    )(_tl_array(trans_log), packs.nrow, packs.kcol, packs.suc, packs.ksTn,
+      ksT, packs.alw, packs.hd, fwd, zcol)
     return tacc, em, b0

@@ -157,6 +157,21 @@ class Trainer:
             out.append((trans, emis, float(Zb[i])))
         return out
 
+    def _train_batch_ntc(self, jobs: list) -> list:
+        """All reads of a batch through the batched NTC Baum-Welch
+        kernels (models/ntc_batch.NTCBatchEngine.train); on CPU (or with
+        kernels disabled) the engine runs the exact per-read path, so
+        this is always safe to call in resquiggle mode."""
+        from dynamont_tpu.models.batch import BatchItem
+        from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+
+        model = pore_model_from_dict(self.kmer_models, self.rna)
+        eng = NTCBatchEngine(
+            model, self.pore, self.transition_params,
+            batch_size=max(1, len(jobs)),
+        )
+        return eng.train([BatchItem(j.signal, j.read) for j in jobs])
+
     def _train_read(self, job):
         model = pore_model_from_dict(self.kmer_models, self.rna)
         if self.mode == "basic":
@@ -206,14 +221,14 @@ class Trainer:
         kmer_seen = set()
         pre_z = np.zeros(len(jobs))
         ok_jobs = []
-        if self.mode == "basic":
-            try:
+        try:
+            if self.mode == "basic":
                 results = self._train_batch_basic(jobs)
-            except Exception as e:  # whole-batch failure -> per-read fallback
-                print(f"batched training failed, per-read fallback: {e}",
-                      file=sys.stderr)
-                results = None
-        else:
+            else:
+                results = self._train_batch_ntc(jobs)
+        except Exception as e:  # whole-batch failure -> per-read fallback
+            print(f"batched training failed, per-read fallback: {e}",
+                  file=sys.stderr)
             results = None
         for j, job in enumerate(jobs):
             try:

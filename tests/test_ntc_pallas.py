@@ -341,6 +341,39 @@ def test_train_kernels_match_per_read(setup):
 
 
 @pytest.mark.slow
+def test_engine_train_kernel_path_matches_exact(setup):
+    """NTCBatchEngine.train: kernel path (interpret) vs exact per-read."""
+    from dynamont_tpu.models.batch import BatchItem
+    from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+
+    model = load_model_for_pore("rna002")
+    items = []
+    for s in range(2):
+        sig, read = make_read(model, n_bases=22, seed=300 + s)
+        items.append(BatchItem(sig, read))
+    kw = dict(t_pad_to=32, n_pad_to=16)
+    eng_p = NTCBatchEngine(model, "rna002", pallas=True,
+                           pallas_interpret=True, **kw)
+    eng_x = NTCBatchEngine(model, "rna002", pallas=False, **kw)
+    outs_p = eng_p.train(items)
+    outs_x = eng_x.train(items)
+    for op, ox in zip(outs_p, outs_x):
+        assert not isinstance(op, Exception), op
+        assert not isinstance(ox, Exception), ox
+        tp, ep, zp = op
+        tx, ex, zx = ox
+        assert abs(zp - zx) < 2e-2
+        for k, v in tx.items():
+            assert tp[k] == pytest.approx(v, rel=2e-3, abs=1e-6), k
+        common = set(ep) & set(ex)
+        assert len(common) >= 0.95 * max(len(ep), len(ex))
+        for kmer in common:
+            assert ep[kmer][0] == pytest.approx(ex[kmer][0], abs=1e-3)
+            assert ep[kmer][1] == pytest.approx(ex[kmer][1], rel=5e-3,
+                                               abs=1e-3)
+
+
+@pytest.mark.slow
 def test_engine_pallas_path_matches_scan_path(setup):
     """Full NTCBatchEngine wiring (packs + 3 kernels + finish) vs scan."""
     from dynamont_tpu.models.batch import BatchItem
