@@ -127,6 +127,28 @@ def bench_ntc(model, items, metrics):
         "vs_baseline": round(reads_per_s / REF_NTC_READS_PER_S, 1),
     })
 
+    if not eng.pallas:
+        return
+    # batched NTC Baum-Welch (resquiggle-mode training); the reference
+    # --train pass costs about the same as its segmentation pass
+    try:
+        warm = eng.train(items[:16])
+        t0 = time.perf_counter()
+        outs = eng.train(items[16:16 + n])
+        dt = time.perf_counter() - t0
+        n_ok = sum(1 for o in outs if not isinstance(o, Exception))
+        tr_per_s = len(outs) / dt * (n_ok / max(1, len(outs)))
+        print(f"ntc train: {n_ok}/{len(outs)} reads in {dt:.2f}s",
+              file=sys.stderr)
+        metrics.append({
+            "metric": "ntc_train_throughput",
+            "value": round(tr_per_s, 3),
+            "unit": "reads/s",
+            "vs_baseline": round(tr_per_s / REF_NTC_READS_PER_S, 1),
+        })
+    except Exception as e:
+        print(f"ntc train bench failed: {e}", file=sys.stderr)
+
 
 def bench_train(model, items, metrics):
     import math

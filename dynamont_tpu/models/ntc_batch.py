@@ -556,7 +556,10 @@ class NTCBatchEngine:
                 else:
                     err = self._z_errors(host, j, T, N, K)
                 if err is not None:
-                    outputs[i] = self._train_exact(items[i])
+                    outputs[i] = (
+                        self._train_exact(items[i]) if self.fallback
+                        else RuntimeError(f"{err} (no fallback)")
+                    )
                     continue
                 trans = trans_from_terms(host["term_lse"][:, j])
                 emis = emissions_from_moments(host["em"][j], self.model)
