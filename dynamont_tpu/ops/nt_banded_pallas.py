@@ -555,12 +555,12 @@ def banded_batch_run_pallas(batch: bb.BandedBatch, log_m1, log_e2,
 # ---------------------------------------------------------------------------
 
 def _walk_kernel(scal_ref, rows_ref, pm_ref, pe_ref, ch_ref,
-                 out_n, out_prob, out_close, st, *, B, C, G, nc,
-                 n_sentinel):
+                 out, st, *, B, C, G, nc, n_sentinel):
     """Sequential MAP walk (ref: NT_banded.cpp:204-250) as a reverse chunk
     stream over a read group. Carry (n, j, is_m) lives per read in lanes
-    0/1/2 of a (G, 128) scratch; per-row outputs are lane-broadcast for
-    aligned vector stores (column 0 read back outside)."""
+    0/1/2 of a (G, 128) scratch; the three per-row output streams (visited
+    base, path prob, segment-close flag) are packed into lanes 0/1/2 of ONE
+    (C, G, 128) block so only a single lane-padded tensor hits HBM."""
     c = pl.program_id(1)
     T = scal_ref[:, 0:1]
     N = scal_ref[:, 1:2]
@@ -594,10 +594,12 @@ def _walk_kernel(scal_ref, rows_ref, pm_ref, pe_ref, ch_ref,
         prob = jnp.where(is_m, pm, pe)
         close = active & is_m
         out_val = jnp.where(active, n, jnp.float32(n_sentinel))
-        zeros = jnp.zeros((G, 128), jnp.float32)
-        out_n[i] = (zeros + out_val).astype(jnp.int32)
-        out_prob[i] = zeros + prob
-        out_close[i] = (zeros + close.astype(jnp.float32)).astype(jnp.int32)
+        out[i] = jnp.where(
+            lane128 == 0.0, out_val,
+            jnp.where(lane128 == 1.0, prob,
+                      jnp.where(lane128 == 2.0, close.astype(jnp.float32),
+                                0.0)),
+        )
 
         n_new = jnp.where(close, n - 1.0, n)
         j_new = jnp.where(close, j - 1.0 + s, jnp.where(active, j + s, j))
@@ -639,23 +641,19 @@ def _walk_t(PM, PE, choices, batch: bb.BandedBatch, N_max: int,
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((C, G, B), rev3, memory_space=pltpu.VMEM)
     lane_spec = pl.BlockSpec((C, G, 128), rev3, memory_space=pltpu.VMEM)
-    path_n, path_prob, closes = pl.pallas_call(
+    packed = pl.pallas_call(
         kernel,
         grid=(Rp // G, nc),
         in_specs=[scal_spec, rows_spec, mat_spec, mat_spec, mat_spec],
-        out_specs=(lane_spec, lane_spec, lane_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((Tc, Rp, 128), jnp.int32),
-            jax.ShapeDtypeStruct((Tc, Rp, 128), jnp.float32),
-            jax.ShapeDtypeStruct((Tc, Rp, 128), jnp.int32),
-        ),
+        out_specs=lane_spec,
+        out_shape=jax.ShapeDtypeStruct((Tc, Rp, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((G, 128), jnp.float32)],
         interpret=interpret,
     )(scal, rows, PM, PE, choices.astype(jnp.int32))
 
-    path_n = path_n[1:T_pad, :, 0].T
-    path_prob = path_prob[1:T_pad, :, 0].T
-    closes = closes[1:T_pad, :, 0].T.astype(bool)
+    path_n = packed[1:T_pad, :, 0].T.astype(jnp.int32)
+    path_prob = packed[1:T_pad, :, 1].T
+    closes = packed[1:T_pad, :, 2].T != 0.0
     t_idx = jnp.arange(1, T_pad, dtype=jnp.int32)
 
     def finish(pn, pp, cl):
