@@ -22,37 +22,81 @@ def detect_format(header: list[str]) -> str:
     raise ValueError(f"Unsupported or unrecognized segmentation file format: {header}")
 
 
+def _load_read_map(summary_file: str) -> dict:
+    """f5c eventalign .sum sidecar: read_index -> read_name
+    (ref: segToFasta.py:40-50)."""
+    read_map = {}
+    with open(summary_file) as f:
+        for line in f:
+            if line.startswith("read_index"):
+                continue
+            cols = line.strip().split("\t")
+            if len(cols) >= 2:
+                read_map[cols[0]] = cols[1]
+    return read_map
+
+
 def seg_to_fasta(seg_file: str, basecalls: dict, rna: bool, outfile: str) -> int:
-    """Emit per-read FASTA of the bases covered by the segmentation
-    (ref: segToFasta.py). basecalls: {readid: sequence 5'->3'}. Returns the
-    number of reads written."""
+    """Emit per-read FASTA of the segmented bases, ordered by signal start,
+    for any of the four tool flavors (ref: segToFasta.py:72-141).
+    basecalls: {readid: sequence 5'->3'} (needed by the f5c_resquiggle
+    flavor, which records base indices only). Returns reads written."""
+    import csv
+
     from dynamont_tpu.plot.readers import _open_maybe_zst
 
-    per_read: dict[str, set] = {}
     with _open_maybe_zst(seg_file) as f:
-        header = f.readline().strip().split(",")
-        fmt = detect_format(header if len(header) > 1 else header[0].split("\t"))
-        if fmt != "dynamont":
-            raise NotImplementedError(
-                "only the dynamont CSV flavor is converted here; others keep "
-                "their native tooling"
-            )
-        for line in f:
-            parts = line.strip().split(",")
-            if len(parts) < 5:
-                continue
-            rid, basepos = parts[0], int(parts[4])
-            per_read.setdefault(rid, set()).add(basepos)
+        header = f.readline().strip()
+        delimiter = "\t" if "\t" in header else ","
+        fmt = detect_format(header.split(delimiter))
+
+    read_map = {}
+    if fmt == "f5c_eventalign":
+        read_map = _load_read_map(os.path.splitext(seg_file)[0] + ".sum")
+
+    segments: dict[str, list] = {}
+    with _open_maybe_zst(seg_file) as f:
+        for row in csv.DictReader(f, delimiter=delimiter):
+            if fmt == "dynamont":
+                rid = row["readid"]
+                start = int(row["start"])
+                base = row["base"].replace("U", "T")
+            elif fmt == "f5c_resquiggle":
+                rid = row["read_id"]
+                seq = basecalls.get(rid)
+                if seq is None:
+                    continue
+                base = seq[int(row["kmer_idx"])].replace("U", "T")
+                try:
+                    start = int(row["start_raw_idx"])
+                except ValueError:
+                    continue
+            elif fmt == "f5c_eventalign":
+                rid = read_map.get(row["read_index"])
+                try:
+                    start = int(row["start_idx"])
+                except ValueError:
+                    continue
+                motif = row["model_kmer"].replace("U", "T")
+                base = motif[len(motif) // 2]
+            else:  # uncalled4
+                rid = row["aln.read_id"]
+                try:
+                    start = int(row["dtw.start"])
+                except ValueError:
+                    continue
+                motif = row["seq.kmer"].replace("U", "T")
+                base = motif[len(motif) // 2]
+            segments.setdefault(rid, []).append((start, base))
 
     n = 0
     with open(outfile, "w") as out:
-        for rid, positions in per_read.items():
-            seq = basecalls.get(rid)
-            if seq is None:
-                continue
-            lo, hi = min(positions), max(positions)
-            sub = seq[lo: hi + 1]
-            out.write(f">{rid}\n{sub}\n")
+        for rid, segs in segments.items():
+            segs.sort()
+            seq = "".join(b for _, b in segs)
+            if rna:
+                seq = seq[::-1]
+            out.write(f">{rid}\n{seq}\n")
             n += 1
     print(f"wrote {n} reads to {outfile}", file=sys.stderr)
     return n

@@ -164,9 +164,51 @@ def test_seg_to_fasta(tmp_path):
     out = tmp_path / "out.fasta"
     n = seg_to_fasta(str(seg), {"r1": "AAACGTCCC"}, False, str(out))
     assert n == 1
-    text = out.read_text()
-    assert text.startswith(">r1\n")
-    assert "CG" in text
+    # one base per segment row, ordered by signal start (ref: segToFasta.py)
+    assert out.read_text() == ">r1\nAC\n"
+    # rna flips 5'->3'
+    seg_to_fasta(str(seg), {"r1": "AAACGTCCC"}, True, str(out))
+    assert out.read_text() == ">r1\nCA\n"
+
+
+def test_seg_to_fasta_flavors(tmp_path):
+    from dynamont_tpu.eval.converters import seg_to_fasta
+
+    # f5c resquiggle: kmer_idx indexes into the basecalled read
+    f5cr = tmp_path / "f5c_resquiggle.tsv"
+    f5cr.write_text(
+        "read_id\tkmer_idx\tstart_raw_idx\tend_raw_idx\n"
+        "r1\t0\t10\t20\n"
+        "r1\t1\t.\t.\n"      # unaligned rows are skipped
+        "r1\t2\t20\t30\n"
+    )
+    out = tmp_path / "o1.fasta"
+    assert seg_to_fasta(str(f5cr), {"r1": "GATTACA"}, False, str(out)) == 1
+    assert out.read_text() == ">r1\nGT\n"
+
+    # f5c eventalign: read_index resolved through the .sum sidecar; base is
+    # the middle of model_kmer
+    f5ce = tmp_path / "f5c_eventalign.tsv"
+    f5ce.write_text(
+        "contig\tread_index\tmodel_kmer\tstart_idx\tend_idx\n"
+        "c\t0\tAACGT\t100\t110\n"
+        "c\t0\tUUUUU\t50\t60\n"
+    )
+    (tmp_path / "f5c_eventalign.sum").write_text(
+        "read_index\tread_name\n0\trX\n"
+    )
+    assert seg_to_fasta(str(f5ce), {}, False, str(out)) == 1
+    assert out.read_text() == ">rX\nTC\n"
+
+    # uncalled4: aln.read_id + dtw.start + middle of seq.kmer
+    u4 = tmp_path / "uncalled4.tsv"
+    u4.write_text(
+        "aln.read_id\tseq.kmer\tdtw.start\tdtw.length\n"
+        "r9\tAAGAA\t7\t3\n"
+        "r9\tCCTCC\t2\t5\n"
+    )
+    assert seg_to_fasta(str(u4), {}, False, str(out)) == 1
+    assert out.read_text() == ">r9\nTG\n"
 
 
 def test_downstream_eval(tmp_path):
