@@ -152,6 +152,34 @@ def test_plot_params_smoke(tmp_path):
     assert (tmp_path / "Zchange.pdf").exists()
 
 
+def test_plot_tool_segments_cli(tmp_path):
+    from dynamont_tpu.plot.tool_segments import main as pts_main
+
+    sig = ",".join(f"{v:.3f}" for v in 80 + 10 * np.sin(np.arange(200) / 7))
+    tsv = tmp_path / "reads.tsv"
+    tsv.write_text(f"r1\ts1\t{sig}\tACGTACGTAC\n")
+    dyn = tmp_path / "dyn.csv"
+    dyn.write_text(
+        "readid,signalid,start,end,basepos,base,motif,state,"
+        "posterior_probability,polish\n"
+        "r1,s1,10,40,2,A,AACGT,M,0.9,NA\n"
+        "r1,s1,40,90,3,C,ACGTA,M,0.8,NA\n"
+    )
+    u4 = tmp_path / "u4.tsv"
+    u4.write_text(
+        "a\tb\tc\td\tkmer\trid\tstart\tlength\n"
+        "x\tx\tx\tx\tAAGAA\tr1\t15\t30\n"
+    )
+    out = tmp_path / "plots"
+    pts_main([
+        "--tsv", str(tsv), "--dynamont", str(dyn), "--uncalled4", str(u4),
+        "--readid", "r1", "-o", str(out), "--region", "10:90",
+        "--formats", "png",
+    ])
+    assert (out / "r1_tool_segmentation.png").stat().st_size > 0
+    assert (out / "r1_tool_segmentation_region.png").stat().st_size > 0
+
+
 def test_seg_to_fasta(tmp_path):
     from dynamont_tpu.eval.converters import seg_to_fasta
 
