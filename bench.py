@@ -22,10 +22,10 @@ import time
 REF_BANDED_READS_PER_S = 0.75   # reference single-core basic mode
 REF_NTC_READS_PER_S = 0.072     # reference single-core NTC (13.9 s/read)
 
-N_READS = 64
-N_BASES = 1800
+N_READS = int(os.environ.get("DYNAMONT_BENCH_READS", 64))
+N_BASES = int(os.environ.get("DYNAMONT_BENCH_BASES", 1800))
 MEAN_DWELL = 9.0
-T_TRIM = 16000
+T_TRIM = int(os.environ.get("DYNAMONT_BENCH_T", 16000))
 BAND_B = 403  # reference band width at -b 400
 
 
