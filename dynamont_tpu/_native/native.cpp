@@ -10,6 +10,7 @@
 // image). Batch entry points parallelize across reads with OpenMP.
 
 #include <algorithm>
+#include <charconv>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -311,6 +312,121 @@ int64_t ntc_traceback(const double *apsei, const double *logp,
         std::swap(out_polish[a], out_polish[b]);
     }
     return nseg;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CSV row formatting (ref: src/python/segmentation/FileIO.py:402-483)
+// ---------------------------------------------------------------------------
+
+// Shortest round-trip double repr with CPython's formatting conventions:
+// integral values get a trailing ".0", scientific exponents are sign-
+// explicit and zero-padded to two digits ("1e-05"). std::to_chars already
+// produces the shortest digits and the same fixed/scientific switch point
+// (exponent < -4), so these two rewrites make the bytes identical to
+// Python's repr(float(x)) — property-tested in tests/test_output.py.
+static char *fmt_double_py(double d, char *p) {
+    auto res = std::to_chars(p, p + 40, d);
+    char *q = res.ptr;
+    char *e = nullptr;
+    bool dot = false;
+    for (char *c = p; c < q; ++c) {
+        if (*c == 'e') { e = c; break; }
+        if (*c == '.') dot = true;
+    }
+    if (!e) {
+        if (!dot) { *q++ = '.'; *q++ = '0'; }
+        return q;
+    }
+    char sign = '+';
+    char *d0 = e + 1;
+    if (*d0 == '-' || *d0 == '+') { sign = *d0; ++d0; }
+    int nd = (int)(q - d0);
+    char digits[8];
+    std::memcpy(digits, d0, nd);
+    char *w = e + 1;
+    *w++ = sign;
+    if (nd < 2) *w++ = '0';
+    std::memcpy(w, digits, nd);
+    return w + nd;
+}
+
+static char *fmt_i64(int64_t v, char *p) {
+    auto res = std::to_chars(p, p + 24, v);
+    return res.ptr;
+}
+
+extern "C" {
+
+// Device summaries -> CSV bytes for one read, byte-identical to the Python
+// path (nt_banded_device.summaries_to_segments + io.output
+// format_segments_csv, basic mode: state "M", polish "NA").
+// Returns bytes written, or -1 if out_cap is too small.
+int64_t summaries_to_csv(const char *prefix, const int32_t *starts,
+                         const float *medians, int64_t N, const char *read,
+                         int64_t read_len, int64_t kmer_size, int64_t rna,
+                         int64_t sig_offset, int64_t last_index, char *out,
+                         int64_t out_cap) {
+    const int64_t half = kmer_size / 2;
+    const int64_t plen = (int64_t)std::strlen(prefix);
+    const int64_t row_cap = plen + 3 * 24 + kmer_size + 48;
+    char *w = out;
+    char *end = out + out_cap;
+    char *prev_end_slot = nullptr;  // previous row's `end` field, patched
+                                    // once the next segment start is known
+    for (int64_t n = 1; n < N; ++n) {
+        if (starts[n] < 0) continue;
+        if (end - w < row_cap) return -1;
+        int64_t start_t = (int64_t)starts[n] + sig_offset;
+        if (prev_end_slot) {
+            char *q = fmt_i64(start_t, prev_end_slot);
+            std::memmove(q, prev_end_slot + 24,
+                         (size_t)(w - (prev_end_slot + 24)));
+            w -= (prev_end_slot + 24) - q;
+            prev_end_slot = nullptr;
+        }
+        std::memcpy(w, prefix, plen);
+        w += plen;
+        w = fmt_i64(start_t, w);
+        *w++ = ',';
+        prev_end_slot = w;  // reserve 24 chars for `end`
+        std::memset(w, ' ', 24);
+        w += 24;
+        *w++ = ',';
+        int64_t bp = n - 1 + half;
+        int64_t lo = bp - half > 0 ? bp - half : 0;
+        int64_t hi = bp + half + 1 < read_len ? bp + half + 1 : read_len;
+        int64_t bp_out = rna ? read_len - bp - 1 : bp;
+        w = fmt_i64(bp_out, w);
+        *w++ = ',';
+        *w++ = read[bp];
+        *w++ = ',';
+        if (rna) {
+            for (int64_t i = hi - 1; i >= lo; --i) *w++ = read[i];
+        } else {
+            for (int64_t i = lo; i < hi; ++i) *w++ = read[i];
+        }
+        *w++ = ',';
+        *w++ = 'M';
+        *w++ = ',';
+        w = fmt_double_py((double)medians[n], w);
+        *w++ = ',';
+        *w++ = 'N';
+        *w++ = 'A';
+        *w++ = '\n';
+    }
+    if (prev_end_slot) {
+        char *q = fmt_i64(last_index, prev_end_slot);
+        std::memmove(q, prev_end_slot + 24,
+                     (size_t)(w - (prev_end_slot + 24)));
+        w -= (prev_end_slot + 24) - q;
+    }
+    if (w == out) {
+        if (out_cap < 1) return -1;
+        *w++ = '\n';  // empty segment list -> single newline (Python join)
+    }
+    return w - out;
 }
 
 }  // extern "C"

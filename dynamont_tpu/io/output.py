@@ -62,6 +62,42 @@ def rows_to_csv_bytes(readid: str, signalid: str, rows: np.ndarray) -> bytes:
     ).encode("utf-8")
 
 
+def format_segments_csv(
+    readid: str,
+    signalid: str,
+    segments: list,
+    sig_offset: int,
+    last_index: int,
+    read: str,
+    kmer_size: int,
+    rna: bool,
+) -> bytes:
+    """Fused format_segments + rows_to_csv_bytes: one pass from segment
+    tuples straight to CSV bytes (byte-identical to the two-step path; the
+    intermediate object-array rows cost ~5 ms per read at production N)."""
+    n = len(segments)
+    half = kmer_size // 2
+    L = len(read)
+    prefix = f"{readid},{signalid},"
+    lines = []
+    for i, seg in enumerate(segments):
+        state, basepos, start_t, prob = seg[0], seg[1], seg[2], seg[3]
+        polish = seg[4] if len(seg) > 4 else "NA"
+        start = start_t + sig_offset
+        end = segments[i + 1][2] + sig_offset if i < n - 1 else last_index
+        lo = basepos - half
+        motif = read[lo if lo > 0 else 0: basepos + half + 1]
+        base = read[basepos]
+        if rna:
+            motif = motif[::-1]
+            basepos = L - basepos - 1
+        lines.append(
+            f"{prefix}{start},{end},{basepos},{base},{motif},{state},"
+            f"{prob},{polish}"
+        )
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
 class SegmentationWriter:
     """Queue-fed writer thread: zstd CSV + `.errors` sidecar
     (ref: segment.py:75-115). Error entries are strings; results bytes."""

@@ -36,6 +36,9 @@ class BatchOutput:
     segments: list | None  # None => failed read
     Z: float
     error: str | None = None
+    # raw device summaries (starts_row, medians_row, N) — lets the CLI
+    # format CSV through the native fast path without re-walking segments
+    summaries: tuple | None = None
 
 
 class BandedBatchEngine:
@@ -155,7 +158,10 @@ class BandedBatchEngine:
                 segs = dv.summaries_to_segments(
                     starts[j], medians[j], int(N[j]), self.model.kmer_size
                 )
-                outputs[out_i] = BatchOutput(its[j], segs, float(Zb[j]))
+                outputs[out_i] = BatchOutput(
+                    its[j], segs, float(Zb[j]),
+                    summaries=(starts[j], medians[j], int(N[j])),
+                )
 
     def _validate(self, it: BatchItem) -> str | None:
         try:

@@ -79,6 +79,11 @@ def get_lib():
         lib.nt_traceback.argtypes = [
             u8p, f32p, f32p, c_i64, c_i64, c_i64, i32p, i32p, f64p,
         ]
+        lib.summaries_to_csv.restype = c_i64
+        lib.summaries_to_csv.argtypes = [
+            ctypes.c_char_p, i32p, f32p, c_i64, ctypes.c_char_p, c_i64,
+            c_i64, c_i64, c_i64, c_i64, ctypes.c_char_p, c_i64,
+        ]
         _lib = lib
         return _lib
 
@@ -262,3 +267,33 @@ def ntc_traceback_native(apsei, logp, cand_n, ks, allowed, T, N, K,
          float(out_median[i]), int(out_polish[i]))
         for i in range(nseg)
     ]
+
+
+def summaries_csv_native(
+    prefix: str,
+    starts_row,
+    medians_row,
+    N: int,
+    read: str,
+    kmer_size: int,
+    rna: bool,
+    sig_offset: int,
+    last_index: int,
+) -> bytes | None:
+    """Device summaries -> CSV bytes (byte-identical to the Python
+    formatter); None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts_row, np.int32)
+    medians = np.ascontiguousarray(medians_row, np.float32)
+    n = int(N)
+    cap = (len(prefix) + 96 + 2 * kmer_size) * max(1, n) + 16
+    buf = ctypes.create_string_buffer(cap)
+    written = lib.summaries_to_csv(
+        prefix.encode(), starts, medians, n, read.encode(), len(read),
+        kmer_size, int(rna), sig_offset, last_index, buf, cap,
+    )
+    if written < 0:
+        return None
+    return buf.raw[:written]

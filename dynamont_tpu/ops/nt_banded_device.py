@@ -333,9 +333,8 @@ def summaries_to_segments(starts_row: np.ndarray, medians_row: np.ndarray,
     """Host formatting: (N_max,) summaries -> reference-ordered segment list
     [(state, basepos, start_t, median_prob)]."""
     half = kmer_size // 2
-    segs = []
-    for n in range(1, N):
-        st = int(starts_row[n])
-        if st >= 0:
-            segs.append(("M", n - 1 + half, st, float(medians_row[n])))
-    return segs
+    idx = np.nonzero(np.asarray(starts_row[1:N]) >= 0)[0] + 1
+    sts = np.asarray(starts_row)[idx].tolist()
+    probs = np.asarray(medians_row)[idx].tolist()
+    bps = (idx - 1 + half).tolist()
+    return [("M", bp, st, p) for bp, st, p in zip(bps, sts, probs)]
