@@ -107,10 +107,10 @@ def _emit(writer, job, segments, model, rna, summaries=None):
         # identical to the Python formatter; ~40x less host time per read)
         from dynamont_tpu.native import summaries_csv_native
 
-        starts_row, medians_row, N = summaries
+        starts_row, medians_row, N, kmer_size = summaries
         data = summaries_csv_native(
             f"{job.readid},{job.signalid},", starts_row, medians_row, N,
-            job.read, model.kmer_size, rna, job.sig_offset,
+            job.read, kmer_size, rna, job.sig_offset,
             len(job.signal) + job.sig_offset,
         )
         if data is not None:

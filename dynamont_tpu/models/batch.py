@@ -33,12 +33,22 @@ class BatchItem:
 @dataclass
 class BatchOutput:
     item: BatchItem
-    segments: list | None  # None => failed read
+    _segments: list | None  # None => failed read (or lazily built below)
     Z: float
     error: str | None = None
-    # raw device summaries (starts_row, medians_row, N) — lets the CLI
-    # format CSV through the native fast path without re-walking segments
+    # raw device summaries (starts_row, medians_row, N, kmer_size) — the
+    # CLI formats CSV natively from these; segment tuples are only built
+    # on demand (tests, plotting, library users)
     summaries: tuple | None = None
+
+    @property
+    def segments(self) -> list | None:
+        if self._segments is None and self.summaries is not None:
+            starts_row, medians_row, N, kmer_size = self.summaries
+            self._segments = dv.summaries_to_segments(
+                starts_row, medians_row, N, kmer_size
+            )
+        return self._segments
 
 
 class BandedBatchEngine:
@@ -155,12 +165,10 @@ class BandedBatchEngine:
                     f"Z values between matrices do not match! Zf: {Zf[j]}, Zb: {Zb[j]}",
                 )
             else:
-                segs = dv.summaries_to_segments(
-                    starts[j], medians[j], int(N[j]), self.model.kmer_size
-                )
                 outputs[out_i] = BatchOutput(
-                    its[j], segs, float(Zb[j]),
-                    summaries=(starts[j], medians[j], int(N[j])),
+                    its[j], None, float(Zb[j]),
+                    summaries=(starts[j], medians[j], int(N[j]),
+                               self.model.kmer_size),
                 )
 
     def _validate(self, it: BatchItem) -> str | None:
