@@ -41,11 +41,25 @@ def bench_banded(model, items, metrics):
 
     from dynamont_tpu.models.batch import BandedBatchEngine
 
-    eng = BandedBatchEngine(
-        model, "rna002", dtype=jnp.float32, batch_size=16,
-        max_batch_samples=2**22, t_pad_to=2048,
-    )
-    warm = eng.run(items[:16])
+    def make_engine():
+        return BandedBatchEngine(
+            model, "rna002", dtype=jnp.float32, batch_size=16,
+            max_batch_samples=2**22, t_pad_to=2048,
+        )
+
+    eng = make_engine()
+    try:
+        warm = eng.run(items[:16])
+    except Exception as e:
+        if os.environ.get("DYNAMONT_USE_PALLAS") == "0":
+            raise
+        # Mosaic path failed to compile/run: report the scan path rather
+        # than no headline metric at all
+        print(f"banded pallas path failed ({e}); scan fallback",
+              file=sys.stderr)
+        os.environ["DYNAMONT_USE_PALLAS"] = "0"
+        eng = make_engine()
+        warm = eng.run(items[:16])
     n_err = sum(1 for o in warm if o.error is not None)
     if n_err:
         print(f"banded warmup errors: {n_err}/{len(warm)}", file=sys.stderr)
