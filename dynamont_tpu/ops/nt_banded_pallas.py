@@ -199,8 +199,10 @@ def _fwd_wire(batch: bb.BandedBatch, Rp: int, Tc: int):
 
 
 def _forward_t(batch: bb.BandedBatch, log_m1: float, log_e2: float,
-               interpret: bool = False):
-    """T-major forward: returns (M, E) as (Tc, Rp, B)."""
+               interpret: bool = False, return_rows: bool = False):
+    """T-major forward: returns (M, E) as (Tc, Rp, B) [+ the packed row
+    stream when return_rows — the viterbi/walk passes reuse its s1/bstart
+    lanes instead of building their own packs]."""
     R, Tm1 = batch.sig.shape
     T_pad = Tm1 + 1
     B = batch.B
@@ -235,6 +237,8 @@ def _forward_t(batch: bb.BandedBatch, log_m1: float, log_e2: float,
         scratch_shapes=[pltpu.VMEM((G, B), jnp.float32) for _ in range(5)],
         interpret=interpret,
     )(scal, rows, w0mu, w0c1, w0c2)
+    if return_rows:
+        return M, E, rows
     return M, E
 
 
@@ -406,7 +410,8 @@ def backward_pallas(batch: bb.BandedBatch, log_m1: float, log_e2: float,
 # ---------------------------------------------------------------------------
 
 def _vit_kernel(scal_ref, rows_ref, fm_ref, fe_ref, bm_ref, be_ref,
-                ch_out, pm_out, pe_out, cM, cE, *, B, C, G):
+                ch_out, pm_out, pe_out, cM, cE, *, B, C, G,
+                s1_lane=0, bs_lane=1):
     """Fused posterior + Viterbi pass: computes LPM/LPE = for+back-Zb on the
     fly, emits the traceback choice bits and the clipped posterior
     probabilities PM/PE in one streaming read of the four DP tensors."""
@@ -440,8 +445,8 @@ def _vit_kernel(scal_ref, rows_ref, fm_ref, fe_ref, bm_ref, be_ref,
         @pl.when(t > 0)
         def _():
             row = rows_ref[i]
-            s1 = row[:, 0:1] == 1.0
-            bs = row[:, 1:2]
+            s1 = row[:, s1_lane:s1_lane + 1] == 1.0
+            bs = row[:, bs_lane:bs_lane + 1]
             M_prev = cM[...]
             E_prev = cE[...]
             E_m = jnp.where(s1, E_prev, _shift_right(E_prev, NEG_INF))
@@ -463,22 +468,28 @@ def _vit_kernel(scal_ref, rows_ref, fm_ref, fe_ref, bm_ref, be_ref,
 
 
 def _viterbi_t(fM, fE, bM, bE, Zb, batch: bb.BandedBatch,
-               interpret: bool = False):
-    """T-major viterbi: all mats (Tc, Rp, B); Zb (Rp,)."""
+               interpret: bool = False, rows=None):
+    """T-major viterbi: all mats (Tc, Rp, B); Zb (Rp,). `rows` reuses the
+    forward pass's packed row stream (s1 in lane 1, bstart in lane 5)."""
     Tc, Rp, B = fM.shape
     G = G_BLOCK
     C = CHUNK_VIT
     nc = Tc // C
     T_pad = batch.sig.shape[1] + 1
-    bs_all = _pad_reads(batch.bstart.astype(jnp.int32), Rp)
-    s1 = jnp.concatenate(
-        [jnp.zeros((Rp, 1), jnp.int32),
-         (bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32)], axis=1)
-    pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
-    rows = _pack_rows(pad_t(s1), pad_t(bs_all))
+    if rows is None:
+        bs_all = _pad_reads(batch.bstart.astype(jnp.int32), Rp)
+        s1 = jnp.concatenate(
+            [jnp.zeros((Rp, 1), jnp.int32),
+             (bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32)], axis=1)
+        pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
+        rows = _pack_rows(pad_t(s1), pad_t(bs_all))
+        s1_lane, bs_lane = 0, 1
+    else:
+        s1_lane, bs_lane = 1, 5
     scal = _pack_scal(_pad_reads(batch.bw, Rp), _pad_reads(batch.N, Rp), Zb)
 
-    kernel = functools.partial(_vit_kernel, B=B, C=C, G=G)
+    kernel = functools.partial(_vit_kernel, B=B, C=C, G=G,
+                               s1_lane=s1_lane, bs_lane=bs_lane)
     idx3 = lambda r, c: (c, r, 0)
     scal_spec = pl.BlockSpec((G, scal.shape[1]), lambda r, c: (r, 0),
                              memory_space=pltpu.VMEM)
@@ -555,7 +566,7 @@ def banded_batch_run_pallas(batch: bb.BandedBatch, log_m1, log_e2,
 # ---------------------------------------------------------------------------
 
 def _walk_kernel(scal_ref, rows_ref, pm_ref, pe_ref, ch_ref,
-                 out, st, *, B, C, G, nc, n_sentinel):
+                 out, st, *, B, C, G, nc, n_sentinel, s1_lane=0):
     """Sequential MAP walk (ref: NT_banded.cpp:204-250) as a reverse chunk
     stream over a read group. Carry (n, j, is_m) lives per read in lanes
     0/1/2 of a (G, 128) scratch; the three per-row output streams (visited
@@ -584,7 +595,7 @@ def _walk_kernel(scal_ref, rows_ref, pm_ref, pe_ref, ch_ref,
         is_m = st[:, 2:3] == 1.0
         active = (tf <= T - 1.0) & (tf >= 1.0) & (n >= 1.0)
         row = rows_ref[i]
-        s = row[:, 0:1]
+        s = row[:, s1_lane:s1_lane + 1]
 
         mask = jf == j                                  # (G, B)
         pm = jnp.sum(jnp.where(mask, pm_ref[i], 0.0), axis=1, keepdims=True)
@@ -615,24 +626,30 @@ def _walk_kernel(scal_ref, rows_ref, pm_ref, pe_ref, ch_ref,
 
 
 def _walk_t(PM, PE, choices, batch: bb.BandedBatch, N_max: int,
-            interpret: bool = False):
+            interpret: bool = False, rows=None):
     """T-major walk over (Tc, Rp, B) tensors; returns per-read (N_max+1,)
-    starts and (N_max,) medians, padded-reads included."""
+    starts and (N_max,) medians, padded-reads included. `rows` reuses the
+    forward pass's packed row stream (s1 in lane 1)."""
     Tc, Rp, B = PM.shape
     G = G_BLOCK
     C = CHUNK_WALK
     nc = Tc // C
     T_pad = batch.sig.shape[1] + 1
-    bs_all = _pad_reads(batch.bstart.astype(jnp.int32), Rp)
-    s1 = jnp.concatenate(
-        [jnp.zeros((Rp, 1), jnp.int32),
-         (bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32)], axis=1)
-    rows = _pack_rows(jnp.pad(s1, ((0, 0), (0, Tc - T_pad))))
+    if rows is None:
+        bs_all = _pad_reads(batch.bstart.astype(jnp.int32), Rp)
+        s1 = jnp.concatenate(
+            [jnp.zeros((Rp, 1), jnp.int32),
+             (bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32)], axis=1)
+        rows = _pack_rows(jnp.pad(s1, ((0, 0), (0, Tc - T_pad))))
+        s1_lane = 0
+    else:
+        s1_lane = 1
     scal = _pack_scal(_pad_reads(batch.T, Rp), _pad_reads(batch.N, Rp),
                       _pad_reads(batch.bw, Rp))
 
     kernel = functools.partial(
-        _walk_kernel, B=B, C=C, G=G, nc=nc, n_sentinel=N_max
+        _walk_kernel, B=B, C=C, G=G, nc=nc, n_sentinel=N_max,
+        s1_lane=s1_lane,
     )
     rev3 = lambda r, c: (nc - 1 - c, r, 0)
     scal_spec = pl.BlockSpec((G, scal.shape[1]), lambda r, c: (r, 0),
@@ -699,7 +716,8 @@ def banded_segment_pallas(batch: bb.BandedBatch, N_max: int, log_m1, log_e2,
     """Fused production entry: T-major end to end (no transposes of the
     DP tensors ever materialize). Returns (Zf, Zb, starts, medians)."""
     R = batch.sig.shape[0]
-    fM, fE = _forward_t(batch, log_m1, log_e2, interpret)
+    fM, fE, rows = _forward_t(batch, log_m1, log_e2, interpret,
+                              return_rows=True)
     bM, bE = _backward_t(batch, log_m1, log_e2, interpret)
     Tc, Rp, B = fM.shape
     # the viterbi/walk chunk grids must divide Tc (CHUNK is a multiple of
@@ -709,6 +727,6 @@ def banded_segment_pallas(batch: bb.BandedBatch, N_max: int, log_m1, log_e2,
     bw_p = _pad_reads(batch.bw.astype(jnp.int32), Rp)
     Zf = fE[T_p - 1, rp_iota, bw_p + 1]
     Zb = bE[0, rp_iota, bw_p + 1]
-    ch, PM, PE = _viterbi_t(fM, fE, bM, bE, Zb, batch, interpret)
-    starts, medians = _walk_t(PM, PE, ch, batch, N_max, interpret)
+    ch, PM, PE = _viterbi_t(fM, fE, bM, bE, Zb, batch, interpret, rows=rows)
+    starts, medians = _walk_t(PM, PE, ch, batch, N_max, interpret, rows=rows)
     return Zf[:R], Zb[:R], starts[:R], medians[:R]
