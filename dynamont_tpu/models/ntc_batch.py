@@ -27,7 +27,7 @@ from dynamont_tpu.models.batch import BatchItem, BatchOutput
 from dynamont_tpu.models.nt import _validate
 from dynamont_tpu.ops import ntc_batch as nb
 from dynamont_tpu.ops import ntc_walk as nw
-from dynamont_tpu.utils.kmer import int2kmer, seq_to_kmer_ids
+from dynamont_tpu.utils.kmer import int2kmer, int2kmers_batch, seq_to_kmer_ids
 from dynamont_tpu.utils.logmath import logsumexp
 from dynamont_tpu.utils.pore_model import PoreModel
 
@@ -484,17 +484,17 @@ class NTCBatchEngine:
         polish_kmer_str)."""
         cnt = int(host["seg_cnt"][j])
         m = self.model
-        segs = []
-        for s in range(cnt - 1, -1, -1):
-            segs.append((
-                "P" if host["seg_state"][j, s] else "M",
-                int(host["seg_bp"][j, s]),
-                int(host["seg_start"][j, s]),
-                float(host["seg_med"][j, s]),
-                int2kmer(int(host["seg_k"][j, s]), m.alphabet_size,
-                         m.kmer_size, m.rna),
-            ))
-        return segs
+        rev = slice(cnt - 1, None, -1)
+        states = host["seg_state"][j, rev].tolist()
+        bps = host["seg_bp"][j, rev].tolist()
+        starts = host["seg_start"][j, rev].tolist()
+        meds = host["seg_med"][j, rev].tolist()
+        polish = int2kmers_batch(host["seg_k"][j, rev], m.alphabet_size,
+                                 m.kmer_size, m.rna)
+        return [
+            ("P" if st else "M", int(bp), int(t0), float(p), pk)
+            for st, bp, t0, p, pk in zip(states, bps, starts, meds, polish)
+        ]
 
     def _renormalize_medians(self, host, j, segs):
         """The device scans normalize posteriors by Zb (saves a whole

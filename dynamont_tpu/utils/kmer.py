@@ -49,6 +49,23 @@ def int2kmer(value: int, alphabet_size: int, kmer_size: int, rna: bool) -> str:
     return "".join(digits)
 
 
+_ID2BASE_CODES = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def int2kmers_batch(values, alphabet_size: int, kmer_size: int,
+                    rna: bool) -> list[str]:
+    """Vectorized int2kmer over an array of k-mer ids (same orientation
+    semantics); one ascii-decode slice per k-mer instead of a digit loop."""
+    v = np.asarray(values, np.int64).reshape(-1)
+    powers = alphabet_size ** np.arange(kmer_size, dtype=np.int64)
+    d = (v[:, None] // powers) % alphabet_size  # LSB-first digits
+    if not rna:
+        d = d[:, ::-1]
+    flat = np.ascontiguousarray(_ID2BASE_CODES[d]).tobytes()
+    S = kmer_size
+    return [flat[i * S:(i + 1) * S].decode("ascii") for i in range(len(v))]
+
+
 def seq_to_base_ids(seq: str) -> np.ndarray:
     """Vectorized base -> token array. Raises on non-IUPAC characters."""
     arr = _LUT[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]

@@ -77,3 +77,17 @@ def test_hamming():
 def test_invalid_characters_raise():
     with pytest.raises(ValueError):
         seq_to_kmer_ids("ACGXZ", 3, 4)
+
+
+def test_int2kmers_batch_matches_scalar():
+    import numpy as np
+
+    from dynamont_tpu.utils.kmer import int2kmer, int2kmers_batch
+
+    rng = np.random.default_rng(3)
+    for A, S in ((4, 5), (4, 9)):
+        vals = rng.integers(0, A ** S, size=50)
+        for rna in (False, True):
+            got = int2kmers_batch(vals, A, S, rna)
+            want = [int2kmer(int(v), A, S, rna) for v in vals]
+            assert got == want
