@@ -104,7 +104,7 @@ def bench_ntc(model, items, metrics):
         model, "rna002", dtype=jnp.float32, batch_size=16,
         max_batch_samples=2**22, fallback=False,
     )
-    n = 16
+    n = min(32, max(16, len(items) - 16))  # 2 buckets when available
     try:
         warm = eng.run(items[:16])
     except Exception as e:
