@@ -35,6 +35,23 @@ def _force(x):
     return np.asarray(x).ravel()[:1]
 
 
+class MetricList(list):
+    """Prints (and flushes) each metric line the moment it lands, so a
+    timed-out run still leaves the completed metrics on stdout, and keeps
+    BENCH_EXTRA.json current."""
+
+    def append(self, m):  # noqa: A003
+        super().append(m)
+        print(json.dumps(m), flush=True)
+        try:
+            path = os.path.join(os.path.dirname(__file__) or ".",
+                                "BENCH_EXTRA.json")
+            with open(path, "w") as f:
+                json.dump(list(self), f, indent=1)
+        except OSError:
+            pass
+
+
 def bench_banded(model, items, metrics):
     import jax
     import jax.numpy as jnp
@@ -236,7 +253,7 @@ def main() -> None:
         # uniform signal length -> one padded bucket shape per engine
         items.append(BatchItem(sig[:T_TRIM], read))
 
-    metrics: list = []
+    metrics = MetricList()
     bench_banded(model, items, metrics)
     if os.environ.get("DYNAMONT_BENCH_FAST") != "1":
         try:
@@ -247,12 +264,6 @@ def main() -> None:
             bench_train(model, items, metrics)
         except Exception as e:
             print(f"train bench failed: {e}", file=sys.stderr)
-
-    with open(os.path.join(os.path.dirname(__file__) or ".",
-                           "BENCH_EXTRA.json"), "w") as f:
-        json.dump(metrics, f, indent=1)
-    for m in metrics:
-        print(json.dumps(m))
 
 
 if __name__ == "__main__":
