@@ -39,6 +39,10 @@ def build_parser() -> ArgumentParser:
                    help="multi-host run: initialize jax.distributed and take "
                         "every process_count-th read (round-robin shard of the "
                         "job stream; output files get a .rank<k> suffix)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run: reads already in the "
+                        "output CSV are skipped, new results are appended "
+                        "(errored reads are retried)")
     return p
 
 
@@ -69,19 +73,29 @@ def main(argv=None) -> None:
         rank, world = jax.process_index(), jax.process_count()
         if world > 1:
             outfile = f"{args.outfile}.rank{rank}"
-    writer = out_io.SegmentationWriter(outfile)
+    done: set = set()
+    resume = False
+    if args.resume:
+        import os
+
+        if os.path.exists(outfile):
+            done = out_io.existing_readids(outfile)
+            resume = True
+            print(f"resume: skipping {len(done)} already-segmented reads",
+                  file=sys.stderr)
+    writer = out_io.SegmentationWriter(outfile, append=resume)
 
     def jobs():
         if args.tsv is not None:
             source = readers.generate_tsv_jobs(args.tsv, rna, args.qscore)
             for i, job in enumerate(source):
-                if i % world == rank:
+                if i % world == rank and job.readid not in done:
                     yield job
         else:
             for i, raw in enumerate(
                 readers.generate_bam_jobs(args.raw, args.basecalls, args.qscore)
             ):
-                if i % world != rank:
+                if i % world != rank or raw[6] in done:
                     continue
                 try:
                     yield readers.materialize_bam_job(raw, rna)

@@ -102,7 +102,8 @@ class SegmentationWriter:
     """Queue-fed writer thread: zstd CSV + `.errors` sidecar
     (ref: segment.py:75-115). Error entries are strings; results bytes."""
 
-    def __init__(self, outfile: str, queue_size: int = 1000):
+    def __init__(self, outfile: str, queue_size: int = 1000,
+                 append: bool = False):
         import zstandard as zstd
 
         self.outfile = outfile
@@ -111,6 +112,7 @@ class SegmentationWriter:
         self.num_reads = 0
         self.num_errors = 0
         self._zstd = zstd
+        self._append = append  # resume: new zstd frame, no header
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -123,9 +125,11 @@ class SegmentationWriter:
                         mininterval=10, file=sys.stderr)  # ref: segment.py:89-95
         except ImportError:
             pbar = None
-        with open(self.outfile, "wb") as raw:
+        mode = "ab" if self._append else "wb"
+        with open(self.outfile, mode) as raw:
             with compressor.stream_writer(raw) as out:
-                out.write(CSV_HEADER)
+                if not self._append:
+                    out.write(CSV_HEADER)
                 while True:
                     item = self.queue.get()
                     if item is None:
@@ -157,3 +161,35 @@ class SegmentationWriter:
             f"Reads segmented: {self.num_reads} Errors: {self.num_errors}",
             file=sys.stderr,
         )
+
+
+def existing_readids(outfile: str) -> set:
+    """Read ids already present in a (possibly multi-frame) zstd CSV —
+    the skip set for a resumed segmentation run."""
+    import zstandard as zstd
+
+    done: set = set()
+    try:
+        with open(outfile, "rb") as raw:
+            reader = zstd.ZstdDecompressor().stream_reader(
+                raw, read_across_frames=True
+            )
+            buf = b""
+            while True:
+                chunk = reader.read(1 << 20)
+                if not chunk:
+                    break
+                buf += chunk
+                lines = buf.split(b"\n")
+                buf = lines.pop()
+                for line in lines:
+                    i = line.find(b",")
+                    if i > 0:
+                        done.add(line[:i].decode())
+            i = buf.find(b",")
+            if i > 0:
+                done.add(buf[:i].decode())
+    except (OSError, zstd.ZstdError):
+        return done
+    done.discard("readid")
+    return done

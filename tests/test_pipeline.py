@@ -30,7 +30,9 @@ def _write_tsv(path, items):
 
 def _read_zst_csv(path):
     with open(path, "rb") as f:
-        data = zstd.ZstdDecompressor().stream_reader(f).read()
+        data = zstd.ZstdDecompressor().stream_reader(
+            f, read_across_frames=True
+        ).read()
     lines = data.decode().strip().split("\n")
     return lines[0], [ln.split(",") for ln in lines[1:]]
 
@@ -93,6 +95,40 @@ def test_resquiggle_cli_tsv_basic(model, tmp_path):
         assert got[2:8] == [str(x) for x in want[:6]]
         assert abs(float(got[8]) - float(want[6])) < 2e-3
         assert got[9] == str(want[7])
+
+
+def test_resquiggle_cli_resume(model, tmp_path):
+    """--resume skips already-segmented reads and appends a new zstd frame;
+    the final CSV matches a single-shot run line-for-line."""
+    from dynamont_tpu.cli import resquiggle
+
+    items = []
+    for s in range(3):
+        sig, read_proc = make_read(model, n_bases=40, seed=80 + s)
+        items.append((f"read{s}", sig, read_proc[9:][::-1]))
+    tsv_all = tmp_path / "all.tsv"
+    tsv_part = tmp_path / "part.tsv"
+    _write_tsv(tsv_all, items)
+    _write_tsv(tsv_part, items[:2])
+
+    ref_out = tmp_path / "ref.csv.zst"
+    resquiggle.main([
+        "--tsv", str(tsv_all), "-o", str(ref_out), "--mode", "basic",
+        "-p", "rna002",
+    ])
+    out = tmp_path / "out.csv.zst"
+    resquiggle.main([
+        "--tsv", str(tsv_part), "-o", str(out), "--mode", "basic",
+        "-p", "rna002",
+    ])
+    resquiggle.main([
+        "--tsv", str(tsv_all), "-o", str(out), "--mode", "basic",
+        "-p", "rna002", "--resume",
+    ])
+    h_ref, rows_ref = _read_zst_csv(ref_out)
+    h_got, rows_got = _read_zst_csv(out)
+    assert h_got == h_ref
+    assert sorted(map(tuple, rows_got)) == sorted(map(tuple, rows_ref))
 
 
 def test_trainer_tsv(model, tmp_path):
