@@ -43,6 +43,9 @@ def build_parser() -> ArgumentParser:
                    help="continue an interrupted run: reads already in the "
                         "output CSV are skipped, new results are appended "
                         "(errored reads are retried)")
+    p.add_argument("--profile", action="store_true",
+                   help="print engine wall-clock accounting (dispatch vs "
+                        "device-wait per bucket) to stderr at the end")
     return p
 
 
@@ -169,6 +172,7 @@ def _run_basic(args, model, jobs, writer, rna):
         if len(chunk) >= CHUNK:
             flush()
     flush()
+    _print_profile(args, eng)
 
 
 def _run_resquiggle(args, model, jobs, writer, rna):
@@ -207,6 +211,27 @@ def _run_resquiggle(args, model, jobs, writer, rna):
         if len(chunk) >= CHUNK:
             flush()
     flush()
+    _print_profile(args, eng)
+
+
+def _print_profile(args, eng) -> None:
+    if not getattr(args, "profile", False):
+        return
+    pr = eng.profile
+    n, b = max(1, pr["reads"]), max(1, pr["buckets"])
+    line = (
+        f"profile: {pr['reads']} reads in {pr['buckets']} buckets | "
+        f"dispatch {pr['dispatch_s']:.2f}s ({pr['dispatch_s'] / b * 1e3:.0f} "
+        f"ms/bucket) | device-wait+collect {pr['collect_s']:.2f}s "
+        f"({pr['collect_s'] / b * 1e3:.0f} ms/bucket) | "
+        f"{n / max(1e-9, pr['dispatch_s'] + pr['collect_s']):.1f} reads/s"
+    )
+    if "exact_retries" in pr:
+        line += (f" | exact-path retries {pr['exact_retries']} "
+                 f"({pr['exact_s']:.2f}s)")
+    import sys
+
+    print(line, file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,10 @@ class BandedBatchEngine:
         self.max_batch_samples = max_batch_samples
         self.t_pad_to = t_pad_to
         self.device_pipeline = device_pipeline
+        # wall-clock accounting across run() calls: dispatch = host prep +
+        # async submit, collect = device wait + D2H + summary decode
+        self.profile = {"buckets": 0, "reads": 0, "dispatch_s": 0.0,
+                        "collect_s": 0.0}
         if device_pipeline:
             means, c1, c2 = model.score_params()
             self._dev_run = dv.make_device_fn(
@@ -125,12 +129,21 @@ class BandedBatchEngine:
         if self.device_pipeline:
             # phase 1: dispatch every bucket (async); phase 2: collect —
             # JAX async dispatch overlaps H2D/compute/D2H across buckets
+            import time
+
+            t0 = time.perf_counter()
             pending = []
             for group in self._buckets([items[i] for i in valid]):
                 gidx = [valid[g] for g in group]
                 pending.append(self._dispatch_bucket([items[i] for i in gidx], gidx))
+            t1 = time.perf_counter()
             for bucket in pending:
                 self._collect_bucket(bucket, outputs)
+            t2 = time.perf_counter()
+            self.profile["buckets"] += len(pending)
+            self.profile["dispatch_s"] += t1 - t0
+            self.profile["collect_s"] += t2 - t1
+            self.profile["reads"] += len(valid)
         else:
             for group in self._buckets([items[i] for i in valid]):
                 gidx = [valid[g] for g in group]

@@ -341,6 +341,9 @@ class NTCBatchEngine:
         self.cap_n = cap_n
         self.cap_k = cap_k
         self.fallback = fallback
+        # wall-clock accounting across run() calls (see --profile)
+        self.profile = {"buckets": 0, "reads": 0, "dispatch_s": 0.0,
+                        "collect_s": 0.0, "exact_retries": 0, "exact_s": 0.0}
         self._fn = make_ntc_batch_fn(model, pore, transition_overrides, dtype)
         self._train_fn = None  # built lazily by train()
         self._eps = EPSILON if jnp.dtype(dtype) == jnp.float64 else FP32_EPSILON
@@ -377,14 +380,25 @@ class NTCBatchEngine:
                 continue
             valid.append(i)
 
+        import time
+
+        t0 = time.perf_counter()
         pending = [
             self._dispatch(gidx, items) for gidx in self._buckets(valid, items)
         ]
+        t1 = time.perf_counter()
         retry: list[int] = []
         for bucket in pending:
             retry += self._collect(bucket, items, outputs)
+        t2 = time.perf_counter()
         for i in retry:
             outputs[i] = self._run_exact(items[i])
+        self.profile["buckets"] += len(pending)
+        self.profile["reads"] += len(valid)
+        self.profile["dispatch_s"] += t1 - t0
+        self.profile["collect_s"] += t2 - t1
+        self.profile["exact_retries"] += len(retry)
+        self.profile["exact_s"] += time.perf_counter() - t2
         return outputs  # type: ignore[return-value]
 
     def _pad_bucket(self, gidx, items):
