@@ -28,6 +28,10 @@ def build_parser() -> ArgumentParser:
     p.add_argument("-e", "--epochs", type=int, default=1)
     p.add_argument("-q", "--qscore", type=float, default=10.0)
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the last trained_{epoch}_{batch} "
+                        "checkpoint in the output dir (skips the batches "
+                        "params.csv records as done)")
     return p
 
 
@@ -50,7 +54,7 @@ def main(argv=None) -> None:
     model_path = args.model_path or get_model_path(args.pore)
     trainer = Trainer(
         args.mode, args.pore, args.outdir, model_path,
-        batch_size=args.batch_size, epochs=args.epochs,
+        batch_size=args.batch_size, epochs=args.epochs, resume=args.resume,
     )
 
     def jobs():
@@ -64,14 +68,18 @@ def main(argv=None) -> None:
                     print(f"raw read failed: {e}", file=sys.stderr)
 
     try:
-        for epoch in range(args.epochs):
+        for epoch in range(trainer.resume_epoch, args.epochs):
+            skip = trainer.resume_skip_batches if epoch == trainer.resume_epoch else 0
             batch = []
+            n_batch = 0
             for job in jobs():
                 if not read_passes_filters(job.read_5to3):
                     continue
                 batch.append(job)
                 if len(batch) == args.batch_size:
-                    trainer.process_batch(batch, epoch)
+                    n_batch += 1
+                    if n_batch > skip:
+                        trainer.process_batch(batch, epoch)
                     batch = []
                     if args.max_batches and trainer.batch_num >= args.max_batches:
                         break

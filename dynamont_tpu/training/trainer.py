@@ -59,11 +59,52 @@ def nucleotide_ratios(seq: str) -> dict:
     return {b: seq.count(b) / L for b in "ACGT"}
 
 
+def find_resume_state(outdir: str, param_names) -> dict | None:
+    """Last trainable position recorded under outdir, or None.
+
+    Parses params.csv (tolerating a final partial line from an interrupted
+    run — the checkpoint model and the transition values are flushed before
+    the post-update Z re-evaluation appends Zchange) and returns the last
+    epoch/batch, the reads count, the transition values, and how many
+    batches of the last epoch are already done."""
+    csv_path = join(outdir, "params.csv")
+    if not os.path.exists(csv_path):
+        return None
+    n_params = len(param_names)
+    last = None
+    per_epoch: dict = {}
+    with open(csv_path) as f:
+        next(f, None)  # header
+        for line in f:
+            fields = line.rstrip("\n").split(",")
+            if len(fields) < 3 + n_params:
+                continue
+            try:
+                e, b, r = int(fields[0]), int(fields[1]), int(fields[2])
+                vals = [float(v) for v in fields[3:3 + n_params]]
+            except ValueError:
+                continue
+            per_epoch[e] = per_epoch.get(e, 0) + 1
+            last = (e, b, r, vals)
+    if last is None:
+        return None
+    e, b, r, vals = last
+    ckpt = join(outdir, f"trained_{e}_{b}.model")
+    if not os.path.exists(ckpt):
+        return None
+    return {
+        "epoch": e, "batch": b, "reads": r, "ckpt": ckpt,
+        "transitions": dict(zip(param_names, vals)),
+        "batches_done_in_epoch": per_epoch[e],
+    }
+
+
 class Trainer:
     """One training run over batches of reads."""
 
     def __init__(self, mode: str, pore: str, outdir: str,
-                 model_path: str, batch_size: int = 24, epochs: int = 1):
+                 model_path: str, batch_size: int = 24, epochs: int = 1,
+                 resume: bool = False):
         assert mode in ("basic", "resquiggle")
         self.mode = mode
         self.pore = pore
@@ -73,9 +114,27 @@ class Trainer:
         self.epochs = epochs
         os.makedirs(outdir, exist_ok=True)
 
-        self.kmer_models = read_kmer_models(model_path)
         init = TRAIN_INIT_NT if mode == "basic" else TRAIN_INIT_NTK
-        self.transition_params = dict(init)
+        state = find_resume_state(outdir, list(init)) if resume else None
+        self.resume_epoch = 0
+        self.resume_skip_batches = 0
+        if state is not None:
+            # continue from the last checkpoint; like a reference restart
+            # via --model_path, the ManagedList windows restart from the
+            # pooled values (their history is not persisted)
+            model_path = state["ckpt"]
+            self.resume_epoch = state["epoch"]
+            self.resume_skip_batches = state["batches_done_in_epoch"]
+            print(
+                f"resume: epoch {state['epoch']}, batch {state['batch']} "
+                f"({state['reads']} reads done) from {state['ckpt']}",
+                file=sys.stderr,
+            )
+
+        self.kmer_models = read_kmer_models(model_path)
+        self.transition_params = (
+            dict(state["transitions"]) if state is not None else dict(init)
+        )
 
         # ManagedList pools (ref: train.py:110-111)
         self.param_collector = {
@@ -86,14 +145,21 @@ class Trainer:
             {p: ManagedList([v]) for p, v in self.transition_params.items()}
         )
 
-        self.ckpt_path = join(outdir, "trained_0_0.model")
-        write_kmer_models(self.ckpt_path, self.kmer_models)
-        self.params_csv = open(join(outdir, "params.csv"), "w")
-        self.params_csv.write(
-            "epoch,batch,read," + ",".join(self.transition_params) + ",Zchange\n"
-        )
-        self.reads_done = 0
-        self.batch_num = 0
+        if state is None:
+            self.ckpt_path = join(outdir, "trained_0_0.model")
+            write_kmer_models(self.ckpt_path, self.kmer_models)
+            self.params_csv = open(join(outdir, "params.csv"), "w")
+            self.params_csv.write(
+                "epoch,batch,read,"
+                + ",".join(self.transition_params) + ",Zchange\n"
+            )
+            self.reads_done = 0
+            self.batch_num = 0
+        else:
+            self.ckpt_path = state["ckpt"]
+            self.params_csv = open(join(outdir, "params.csv"), "a")
+            self.reads_done = state["reads"]
+            self.batch_num = state["batch"]
 
     # -- per-read training ------------------------------------------------
     def _train_batch_basic(self, jobs: list) -> list:

@@ -166,6 +166,24 @@ def test_trainer_tsv(model, tmp_path):
     assert 0 < trainer.transition_params["m1"] < 1
     assert 0 < trainer.transition_params["e2"] < 1
 
+    # resume picks up the checkpoint, batch counter, and transitions, and
+    # appends to params.csv instead of rewriting it
+    resumed = Trainer("basic", "rna002", str(outdir), str(model_tsv),
+                      batch_size=4, resume=True)
+    assert resumed.batch_num == 1
+    assert resumed.resume_epoch == 0
+    assert resumed.resume_skip_batches == 1
+    assert resumed.reads_done == trainer.reads_done
+    assert resumed.transition_params["m1"] == trainer.transition_params["m1"]
+    assert resumed.ckpt_path.endswith("trained_0_1.model")
+    dz2 = resumed.process_batch(jobs, epoch=0)
+    resumed.close()
+    assert dz2 is not None
+    assert (outdir / "trained_0_2.model").exists()
+    csv_lines = open(outdir / "params.csv").read().strip().splitlines()
+    assert len(csv_lines) == 3 and csv_lines[0].startswith("epoch,batch,")
+    assert csv_lines[2].startswith("0,2,")
+
 
 def test_resquiggle_cli_tsv_ntc_mode(model, tmp_path):
     """TSV -> resquiggle (NTC) mode -> zstd CSV with polish column filled."""
