@@ -121,7 +121,9 @@ def bench_ntc(model, items, metrics):
         model, "rna002", dtype=jnp.float32, batch_size=16,
         max_batch_samples=2**22, fallback=False,
     )
-    n = min(32, max(16, len(items) - 16))  # 2 buckets when available
+    # time 2 buckets when enough distinct reads exist; small smoke runs
+    # re-time the warmup bucket instead of an empty slice
+    pool = items[16:] or items[:16]
     try:
         warm = eng.run(items[:16])
     except Exception as e:
@@ -137,7 +139,7 @@ def bench_ntc(model, items, metrics):
         )
         warm = eng.run(items[:16])
     t0 = time.perf_counter()
-    outs = eng.run(items[16:16 + n])
+    outs = eng.run(pool[:32])
     dt = time.perf_counter() - t0
     n_ok = sum(1 for o in outs if o.error is None)
     n_ovf = sum(
@@ -165,7 +167,7 @@ def bench_ntc(model, items, metrics):
     try:
         warm = eng.train(items[:16])
         t0 = time.perf_counter()
-        outs = eng.train(items[16:16 + n])
+        outs = eng.train(pool[:32])
         dt = time.perf_counter() - t0
         n_ok = sum(1 for o in outs if not isinstance(o, Exception))
         tr_per_s = len(outs) / dt * (n_ok / max(1, len(outs)))

@@ -329,6 +329,7 @@ int64_t ntc_traceback(const double *apsei, const double *logp,
 static char *fmt_double_py(double d, char *p) {
     auto res = std::to_chars(p, p + 40, d);
     char *q = res.ptr;
+    if (!std::isfinite(d)) return q;  // "nan"/"inf"/"-inf" match repr as-is
     char *e = nullptr;
     bool dot = false;
     for (char *c = p; c < q; ++c) {

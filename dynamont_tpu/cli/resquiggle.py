@@ -82,7 +82,7 @@ def main(argv=None) -> None:
         import os
 
         if os.path.exists(outfile):
-            done = out_io.existing_readids(outfile)
+            done = out_io.prepare_resume(outfile)
             resume = True
             print(f"resume: skipping {len(done)} already-segmented reads",
                   file=sys.stderr)

@@ -58,28 +58,39 @@ def main(argv=None) -> None:
     )
 
     def jobs():
+        # (basecall seq, materialize thunk): batch membership only needs
+        # the sequence, so skipped batches on --resume never touch raw data
         if args.tsv is not None:
-            yield from readers.generate_tsv_jobs(args.tsv, rna, args.qscore)
+            for job in readers.generate_tsv_jobs(args.tsv, rna, args.qscore):
+                yield job.read_5to3, (lambda j=job: j)
         else:
-            for raw in readers.generate_bam_jobs(args.raw, args.basecalls, args.qscore):
-                try:
-                    yield readers.materialize_bam_job(raw, rna)
-                except Exception as e:
-                    print(f"raw read failed: {e}", file=sys.stderr)
+            for raw in readers.generate_bam_jobs(args.raw, args.basecalls,
+                                                 args.qscore):
+                yield raw[5], (
+                    lambda r=raw: readers.materialize_bam_job(r, rna)
+                )
 
     try:
         for epoch in range(trainer.resume_epoch, args.epochs):
             skip = trainer.resume_skip_batches if epoch == trainer.resume_epoch else 0
             batch = []
             n_batch = 0
-            for job in jobs():
-                if not read_passes_filters(job.read_5to3):
+            for seq, make_job in jobs():
+                if not read_passes_filters(seq):
                     continue
-                batch.append(job)
+                batch.append(make_job)
                 if len(batch) == args.batch_size:
                     n_batch += 1
                     if n_batch > skip:
-                        trainer.process_batch(batch, epoch)
+                        materialized = []
+                        for mk in batch:
+                            try:
+                                materialized.append(mk())
+                            except Exception as e:  # unreadable raw data
+                                print(f"raw read failed: {e}",
+                                      file=sys.stderr)
+                        if materialized:
+                            trainer.process_batch(materialized, epoch)
                     batch = []
                     if args.max_batches and trainer.batch_num >= args.max_batches:
                         break

@@ -8,6 +8,7 @@ the same zstd-compressed CSV and `.errors` sidecar.
 
 from __future__ import annotations
 
+import os
 import queue as _queue
 import sys
 import threading
@@ -163,33 +164,65 @@ class SegmentationWriter:
         )
 
 
-def existing_readids(outfile: str) -> set:
-    """Read ids already present in a (possibly multi-frame) zstd CSV —
-    the skip set for a resumed segmentation run."""
+def prepare_resume(outfile: str) -> set:
+    """Skip set for a resumed run; repairs the file after a hard kill.
+
+    Decodes the (possibly multi-frame) zstd CSV. A clean close decodes to
+    EOF without error and the full read-id set is returned untouched. A
+    SIGKILL/OOM mid-write leaves a truncated final frame: appending a new
+    frame after it would make everything unreachable to decompressors, and
+    the final read's rows may be partially flushed. In that case the file
+    is REWRITTEN as one fresh frame holding only the complete lines minus
+    the trailing (possibly incomplete) read, which is then re-segmented."""
     import zstandard as zstd
 
-    done: set = set()
     try:
-        with open(outfile, "rb") as raw:
-            reader = zstd.ZstdDecompressor().stream_reader(
-                raw, read_across_frames=True
-            )
-            buf = b""
-            while True:
-                chunk = reader.read(1 << 20)
-                if not chunk:
-                    break
-                buf += chunk
-                lines = buf.split(b"\n")
-                buf = lines.pop()
-                for line in lines:
-                    i = line.find(b",")
-                    if i > 0:
-                        done.add(line[:i].decode())
-            i = buf.find(b",")
-            if i > 0:
-                done.add(buf[:i].decode())
-    except (OSError, zstd.ZstdError):
-        return done
+        with open(outfile, "rb") as f:
+            rest = f.read()
+    except OSError:
+        return set()
+
+    # frame-by-frame decode: `eof` distinguishes a cleanly closed frame
+    # from a truncated one (a truncated frame yields NO output and NO
+    # error from a plain stream read — it must be detected structurally)
+    decoded = b""
+    truncated = False
+    while rest:
+        obj = zstd.ZstdDecompressor().decompressobj()
+        try:
+            decoded += obj.decompress(rest)
+        except zstd.ZstdError:
+            truncated = True
+            break
+        if not obj.eof:
+            truncated = True
+            break
+        rest = obj.unused_data
+
+    lines = decoded.split(b"\n")
+    tail = lines.pop()  # b"" after a complete final row
+    if tail:
+        truncated = True  # decoded text ends mid-line
+
+    def rid_of(line: bytes):
+        i = line.find(b",")
+        return line[:i].decode() if i > 0 else None
+
+    if truncated:
+        # drop the trailing read entirely (its rows are contiguous and may
+        # be incomplete), then rewrite the file as one clean frame
+        last = rid_of(lines[-1]) if lines else None
+        while lines and rid_of(lines[-1]) == last:
+            lines.pop()
+        tmp = outfile + ".repair"
+        with open(tmp, "wb") as f:
+            with zstd.ZstdCompressor(level=3).stream_writer(f) as out:
+                out.write(b"\n".join(lines) + b"\n" if lines else CSV_HEADER)
+        os.replace(tmp, outfile)
+        print(f"resume: repaired truncated output (kept {len(lines)} rows, "
+              f"re-segmenting read {last})", file=sys.stderr)
+
+    done = {rid_of(line) for line in lines}
+    done.discard(None)
     done.discard("readid")
     return done

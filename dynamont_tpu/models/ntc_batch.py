@@ -497,6 +497,8 @@ class NTCBatchEngine:
         matching models/ntc.run_ntc: (state, basepos, start_t, prob,
         polish_kmer_str)."""
         cnt = int(host["seg_cnt"][j])
+        if cnt <= 0:
+            return []
         m = self.model
         rev = slice(cnt - 1, None, -1)
         states = host["seg_state"][j, rev].tolist()

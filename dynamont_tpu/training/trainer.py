@@ -157,7 +157,19 @@ class Trainer:
             self.batch_num = 0
         else:
             self.ckpt_path = state["ckpt"]
-            self.params_csv = open(join(outdir, "params.csv"), "a")
+            csv_path = join(outdir, "params.csv")
+            # terminate a partial final row (interrupt between the params
+            # flush and the Zchange append) so new rows don't merge onto it
+            with open(csv_path, "rb") as f:
+                f.seek(0, 2)
+                size = f.tell()
+                newline_missing = False
+                if size:
+                    f.seek(size - 1)
+                    newline_missing = f.read(1) != b"\n"
+            self.params_csv = open(csv_path, "a")
+            if newline_missing:
+                self.params_csv.write("\n")
             self.reads_done = state["reads"]
             self.batch_num = state["batch"]
 

@@ -131,6 +131,38 @@ def test_resquiggle_cli_resume(model, tmp_path):
     assert sorted(map(tuple, rows_got)) == sorted(map(tuple, rows_ref))
 
 
+def test_resquiggle_cli_resume_after_truncation(model, tmp_path):
+    """A hard kill leaves a truncated zstd frame; --resume must repair the
+    file (drop the possibly-partial trailing read) and still produce a
+    decodable CSV identical to a single-shot run."""
+    from dynamont_tpu.cli import resquiggle
+
+    items = []
+    for s in range(3):
+        sig, read_proc = make_read(model, n_bases=40, seed=86 + s)
+        items.append((f"read{s}", sig, read_proc[9:][::-1]))
+    tsv_all = tmp_path / "all.tsv"
+    _write_tsv(tsv_all, items)
+
+    ref_out = tmp_path / "ref.csv.zst"
+    resquiggle.main([
+        "--tsv", str(tsv_all), "-o", str(ref_out), "--mode", "basic",
+        "-p", "rna002",
+    ])
+    # simulate the kill: truncate the finished file mid-frame
+    out = tmp_path / "out.csv.zst"
+    data = ref_out.read_bytes()
+    out.write_bytes(data[: len(data) - 7])
+    resquiggle.main([
+        "--tsv", str(tsv_all), "-o", str(out), "--mode", "basic",
+        "-p", "rna002", "--resume",
+    ])
+    h_ref, rows_ref = _read_zst_csv(ref_out)
+    h_got, rows_got = _read_zst_csv(out)
+    assert h_got == h_ref
+    assert sorted(map(tuple, rows_got)) == sorted(map(tuple, rows_ref))
+
+
 def test_trainer_tsv(model, tmp_path):
     items = []
     for s in range(4):
