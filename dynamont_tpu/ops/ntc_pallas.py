@@ -230,7 +230,7 @@ def _col_gather(srcs, ksT_col, dst_same16, dst_suc16, want_slots=False):
     where absent)."""
     L = len(srcs)
     slot_iota = jax.lax.broadcasted_iota(
-        jnp.float32, (1, CK), 1)
+        jnp.int32, (1, CK), 1).astype(jnp.float32)
     ones_row = jnp.ones((1, CK), jnp.float32)
     parts_same = [[] for _ in range(L)]
     parts_suc = [[] for _ in range(L)]
@@ -772,9 +772,9 @@ def _walk_kernel(nrow_ref, sl_ref, lp_ref, ch_ref, sp_ref,
     def _():
         st[...] = jnp.zeros((R, 16), jnp.float32)
 
-    r_col = jax.lax.broadcasted_iota(jnp.float32, (R, 1), 0)
-    lane128 = jax.lax.broadcasted_iota(jnp.float32, (R, CK), 1)
-    lane640 = jax.lax.broadcasted_iota(jnp.float32, (R, 5 * RC), 1)
+    r_col = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).astype(jnp.float32)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, CK), 1).astype(jnp.float32)
+    lane640 = jax.lax.broadcasted_iota(jnp.int32, (R, 5 * RC), 1).astype(jnp.float32)
     i0c = sp_ref[SP_I0][:, None]
     j0c = sp_ref[SP_J0][:, None]
     k0c = sp_ref[SP_K0][:, None]
@@ -1158,7 +1158,7 @@ def _train_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref, ksTn_ref, ksT_ref,
 
     E = _expand16()
     zcol = z_ref[...]
-    kiota = jax.lax.broadcasted_iota(jnp.float32, (CK, K), 1)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (CK, K), 1).astype(jnp.float32)
     r3 = (jax.lax.broadcasted_iota(jnp.int32, (3, 3 * CN), 1) // CN
           == jax.lax.broadcasted_iota(jnp.int32, (3, 3 * CN), 0)
           ).astype(jnp.float32)

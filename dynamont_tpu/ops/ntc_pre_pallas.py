@@ -49,7 +49,8 @@ def _f32(x):
 
 
 def _lane_iota(W):
-    return jax.lax.broadcasted_iota(jnp.float32, (R, W), 1)
+    # Mosaic requires integer iota results; cast after (tpu.iota verifier)
+    return jax.lax.broadcasted_iota(jnp.int32, (R, W), 1).astype(jnp.float32)
 
 
 def _rot(x, sh):
