@@ -93,7 +93,9 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             from dynamont_tpu.ops import ntc_pallas as npk
 
             R = dims[0]
-            packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K)
+            packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K,
+                                           tables=(mu, c1a, c2a),
+                                           interpret=interpret)
             bwd = npk.ntc_backward_pallas(packs, trans_log,
                                           interpret=interpret)
             bwd0 = (bwd[0].reshape(5, R, npk.CN, npk.CK)
@@ -171,7 +173,9 @@ def _ntc_train_run(A: int, S: int, K: int, log_ppm: float, log_ppe: float):
         )
         R = dims[0]
         sigd = sig.astype(dtype)
-        packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K)
+        packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K,
+                                       tables=(mu, c1a, c2a),
+                                       interpret=interpret)
         fwd = npk.ntc_fwd_store_pallas(packs, trans_log,
                                        interpret=interpret)
         rows = (npk.E_ST * npk.RC

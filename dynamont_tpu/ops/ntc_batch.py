@@ -456,18 +456,30 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
         bcol_same = kslot(next_tab, ks)
         bcol_suc = kslot(next_tab, suc_flat)
 
+    if lite:
+        # per-k-slot model params are gathered on the MXU by
+        # ops/ntc_pallas.table_gather_pallas inside build_kernel_packs:
+        # XLA lowers these (T, CK)/(T, A*CK) take gathers to ~5 ns/element
+        # — 3.6 s of a 4.8 s T=16k bucket (probe_ntc_plan_micro.py)
+        zf = jnp.zeros((T, 1), dtype)
+        mu_k = c1_k = c2_k = mu_suc = c1_suc = c2_suc = zf
+        suc_vals = jnp.zeros((T, 1), jnp.int32)
+    else:
+        mu_k, c1_k, c2_k = means[ks_safe], c1[ks_safe], c2[ks_safe]
+        mu_suc, c1_suc, c2_suc = means[suc_flat], c1[suc_flat], c2[suc_flat]
+        suc_vals = suc_flat.astype(jnp.int32)
     return NTCPlan(
         cand_n=cand_n.astype(jnp.int32), cnt_n=cnt_n.astype(jnp.int32),
         ks=ks, live=live, from_tk=from_tk, allowed=allowed,
-        mu_k=means[ks_safe], c1_k=c1[ks_safe], c2_k=c2[ks_safe],
+        mu_k=mu_k, c1_k=c1_k, c2_k=c2_k,
         kN=kN.astype(jnp.int32), mu_n=means[kN], c1_n=c1[kN], c2_n=c2[kN],
         kN2=kN2.astype(jnp.int32), mu_n2=means[kN2], c1_n2=c1[kN2], c2_n2=c2[kN2],
         row_same=slot2(cand_n, prev_n), row_prev=slot2(cand_n - 1, prev_n),
         col_same=col_same, col_prec=col_prec,
         brow_same=slot2(cand_n, next_n), brow_next=slot2(cand_n + 1, next_n),
         bcol_same=bcol_same, bcol_suc=bcol_suc,
-        suc_vals=suc_flat.astype(jnp.int32),
-        mu_suc=means[suc_flat], c1_suc=c1[suc_flat], c2_suc=c2[suc_flat],
+        suc_vals=suc_vals,
+        mu_suc=mu_suc, c1_suc=c1_suc, c2_suc=c2_suc,
         hd1=hd1, hd2=hd2, hd1s=hd1s, hd2s=hd2s, d01=d01, d02=d02,
     )
 

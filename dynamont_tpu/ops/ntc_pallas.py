@@ -98,12 +98,110 @@ def _f32(x):
     return x.astype(jnp.float32)
 
 
-def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int) -> NTCPacks:
+# ---------------------------------------------------------------------------
+# model-table gather kernel (MXU one-hot gathers)
+# ---------------------------------------------------------------------------
+
+JC_TG = 512    # lane chunk per one-hot matmul
+NTAB = 16      # table rows (15 used + zero pad)
+
+
+def combined_tablesT(means, c1, c2, A_: int, K: int):
+    """(NTAB, K) f32 stacked model tables for table_gather_pallas.
+
+    Row 0..2: mu/c1/c2 at k. Row 3 + tab*A + a: tab[(k % step)*A + a] —
+    the per-digit successor permutation, so successor-parameter gathers
+    (ops/ntc_batch._build_plan_one suc_flat) become plain gathers at ks.
+    Last row zero-pads to 16 sublanes."""
+    step = K // A_
+    idx = (jnp.arange(K, dtype=jnp.int32) % step) * A_
+    rows = [means, c1, c2]
+    for tab in (means, c1, c2):
+        for a in range(A_):
+            rows.append(tab[idx + a])
+    rows.append(jnp.zeros((K,), jnp.float32))
+    return jnp.stack([_f32(r) for r in rows], axis=0)
+
+
+def _tab_gather_kernel(ks_ref, tab_ref, out_ref, *, K, NJ):
+    # Exact f32 gather via ONE bf16 MXU matmul: split the f32 table into
+    # 3 bf16 terms (8+8+8 significand bits = f32's 24), stack to (3*NTAB,
+    # K), multiply by the exact 0/1 one-hot, recombine. 2x faster than an
+    # f32 Precision.HIGHEST dot (3.05 vs 5.9 ns/elt measured) because the
+    # M dim grows 16->48 inside one 128-row MXU pass instead of 6 passes.
+    # The split MUST happen in-kernel: an XLA-computed bf16 (48, K) fed
+    # through a BlockSpec arrives with sublanes >= 16 zeroed on this
+    # platform (in-graph bf16 temp layout bug, probed 2026-08-18); f32
+    # inputs are unaffected.
+    t = tab_ref[...]                                     # (NTAB, K) f32
+    hi = t.astype(jnp.bfloat16)
+    r1 = t - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    t3 = jnp.concatenate([hi, mid, lo], axis=0)          # (3*NTAB, K)
+
+    ks_col = ks_ref[0]                                   # (J, 1)
+    for jc in range(NJ):
+        ks_c = ks_col[jc * JC_TG:(jc + 1) * JC_TG]       # (JC, 1)
+        kio = jax.lax.broadcasted_iota(jnp.int32, (JC_TG, K), 1)
+        # j on SUBLANES, k on LANES: lane-broadcasting a column
+        # vector is the layout Mosaic supports (a (1, JC) -> (K, JC)
+        # sublane broadcast is rejected: "Invalid input layout")
+        ohT = (kio == ks_c).astype(jnp.bfloat16)         # (JC, K)
+        y = jax.lax.dot_general(
+            t3, ohT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0, :, jc * JC_TG:(jc + 1) * JC_TG] = (
+            y[:NTAB] + y[NTAB:2 * NTAB] + y[2 * NTAB:])
+
+
+def table_gather_pallas(ks, tabT, interpret: bool = False):
+    """out (T, NTAB, J) f32 with out[t, :, j] = tabT[:, ks[t, j]]
+    (0.0 where ks is out of range, e.g. the dead-slot sentinel K).
+
+    ks (T, J) int32, tabT (NTAB, K) f32 VMEM-resident. XLA lowers take
+    gathers at these shapes to ~5 ns/element (3.6 s per 16-read T=16k
+    bucket, scripts/probe_ntc_plan_micro.py); here each (512, K) one-hot
+    lives only in VMEM and the contraction is an MXU matmul at
+    Precision.HIGHEST (exact: 0/1 weights on f32 table values)."""
+    T_pad, J = ks.shape
+    NT, K = tabT.shape
+    assert NT == NTAB and J % JC_TG == 0, (ks.shape,)
+    kernel = functools.partial(_tab_gather_kernel, K=K, NJ=J // JC_TG)
+    return pl.pallas_call(
+        kernel,
+        grid=(T_pad,),
+        in_specs=[
+            # (1, J, 1): the trailing 1 puts j on SUBLANES so each
+            # (JC, 1) chunk lane-broadcasts against the k iota.
+            pl.BlockSpec((1, J, 1), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NTAB, K), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NTAB, J), lambda c: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_pad, NTAB, J), jnp.float32),
+        interpret=interpret,
+    )(ks[:, :, None], tabT)
+
+
+def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int, tables=None,
+                       interpret: bool = False) -> NTCPacks:
     """Re-lay the flat (T, X) NTCPlan streams into the kernel layouts.
 
     sig: (R, T_pad-1) f32; N_r/T_r: (R,) int32; K: k-mer count (static).
     All jit-traceable. Works from a lite plan (build_plan_batch
-    lite=True) — no slot maps are consumed."""
+    lite=True) — no slot maps are consumed.
+
+    tables=(means, c1, c2): gather the per-slot model parameters here via
+    the MXU one-hot gather kernel instead of reading plan.mu_k/...: the
+    XLA take gathers behind those plan fields cost ~5 ns/element — 3.6 s
+    of a 4.8 s bucket at T=16k (scripts/probe_ntc_plan_micro.py) — while
+    the kernel gathers the same values in ~0.2 s. Requires a lite plan
+    (its gather fields are 1-wide dummies). Dead slots (ks == K) read
+    0.0 instead of a clipped table value; every kernel masks dead slots
+    to -inf before they reach any output, so results are identical."""
     Rr, CNp, CKp, Ap = dims
     assert (Rr, CNp, CKp, Ap) == (R, CN, CK, A), (dims,)
     T_pad = plan.cand_n.shape[0]
@@ -161,13 +259,37 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int) -> NTCPacks:
     sigkm = jnp.broadcast_to(sig_prev.T[:, :, None], (T_pad, R, CK))
     ks_live = jnp.where(plan.live.reshape(T_pad, R, CK) > 0,
                         _f32(plan.ks.reshape(T_pad, R, CK)), -1.0)
-    kcol = jnp.stack(
-        [k16(plan.mu_k), k16(plan.c1_k), k16(plan.c2_k),
-         ks_live, sigk, sigkm], axis=1)
+    if tables is not None:
+        tabT = combined_tablesT(*tables, A, K)
+        ks_i = plan.ks.reshape(T_pad, R * CK).astype(jnp.int32)
+        # chunk over T: the raw gather output is (T, NTAB, J) f32 — 2 GB
+        # at T=16k — and keeping it whole OOMs the 16 GB chip (18.0 G
+        # program requirement measured). lax.map keeps one ~128 MB chunk
+        # live; the re-layout copies are HBM-bandwidth-cheap.
+        TC = T_pad
+        while TC > 1024 and TC % 2 == 0:
+            TC //= 2
 
-    s16 = lambda a: _f32(a).reshape(T_pad, R, ACK)
-    suc = jnp.stack(
-        [s16(plan.mu_suc), s16(plan.c1_suc), s16(plan.c2_suc)], axis=1)
+        def _chunk(ks_c):
+            g = table_gather_pallas(ks_c, tabT, interpret=interpret)
+            col = lambda c: g[:, c].reshape(-1, R, CK)
+            suc_c = jnp.stack(
+                [jnp.concatenate([col(3 + t * A + a) for a in range(A)],
+                                 axis=2) for t in range(3)], axis=1)
+            return col(0), col(1), col(2), suc_c
+
+        mu_k, c1_k, c2_k, suc = jax.lax.map(
+            _chunk, ks_i.reshape(-1, TC, R * CK))
+        mu_k = mu_k.reshape(T_pad, R, CK)
+        c1_k = c1_k.reshape(T_pad, R, CK)
+        c2_k = c2_k.reshape(T_pad, R, CK)
+        suc = suc.reshape(T_pad, NSS, R, ACK)
+    else:
+        mu_k, c1_k, c2_k = k16(plan.mu_k), k16(plan.c1_k), k16(plan.c2_k)
+        s16 = lambda a: _f32(a).reshape(T_pad, R, ACK)
+        suc = jnp.stack(
+            [s16(plan.mu_suc), s16(plan.c1_suc), s16(plan.c2_suc)], axis=1)
+    kcol = jnp.stack([mu_k, c1_k, c2_k, ks_live, sigk, sigkm], axis=1)
 
     ksT = ks_live.transpose(0, 2, 1)                     # (T, CK, 16)
     no_col = jnp.full((1, CK, R), -1.0, jnp.float32)

@@ -120,7 +120,8 @@ def main():
             if stage == "plan":
                 return tree_sum(plan)
             packs = npk.build_kernel_packs(plan, dims, sig.astype(dtype),
-                                           N_r, T_r, K)
+                                           N_r, T_r, K,
+                                           tables=(mu, c1a, c2a))
             return tree_sum(packs)
 
         return f

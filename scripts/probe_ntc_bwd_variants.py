@@ -136,7 +136,7 @@ def main():
             pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
             mu, c1a, c2a, A, S, dtype, lite=True)
         return npk.build_kernel_packs(plan, dims, sig.astype(dtype),
-                                      N_r, T_r, K)
+                                      N_r, T_r, K, tables=(mu, c1a, c2a))
 
     packs = mk_packs(jnp.asarray(sigp), jnp.asarray(kidp),
                      jnp.asarray(T_arr), jnp.asarray(N_arr),

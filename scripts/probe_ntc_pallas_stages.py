@@ -111,7 +111,8 @@ def main():
                 return (plan.allowed.sum() + plan.mu_k.sum()
                         + pn.Zf.sum() + pk.Zf.sum())
             sigd = sig.astype(dtype)
-            packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K)
+            packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K,
+                                           tables=(mu, c1a, c2a))
             if stage == "packs":
                 return (packs.nrow.sum() + packs.kcol.sum()
                         + packs.alw.sum().astype(jnp.float32))

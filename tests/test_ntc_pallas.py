@@ -72,6 +72,7 @@ def setup():
     packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r,
                                    model.num_kmers)
     return dict(plan=plan, dims=dims, packs=packs, trans_log=trans_log,
+                sigd=sigd, tables=(mt, c1t, c2t),
                 bwd_x=np.asarray(bwd_x), Zb_x=np.asarray(Zb_x),
                 lp_x=np.asarray(lp_x), ch_x=np.asarray(ch_x),
                 apE_x=np.asarray(apE_x), fwdE_x=np.asarray(fwdE_x),
@@ -92,6 +93,26 @@ def _cmp(a, b, tol=5e-4):
     d = np.abs(np.where(both_inf, 0.0, a - b))
     assert np.isfinite(d).all(), "inf/finite mismatch"
     assert d.max() < tol, d.max()
+
+
+@pytest.mark.slow
+def test_table_gather_packs_match(setup):
+    """MXU one-hot table gathers (production path) == XLA plan gathers at
+    every LIVE slot; dead slots read 0.0 and are masked by the kernels."""
+    s = setup
+    packs_g = npk.build_kernel_packs(
+        s["plan"], s["dims"], s["sigd"], s["N_r"], s["T_r"], s["K"],
+        tables=s["tables"], interpret=True)
+    live = (np.asarray(s["packs"].ksT) >= 0).transpose(0, 2, 1)  # (T, 16, CK)
+    for st in (npk.K_MU, npk.K_C1, npk.K_C2):
+        a = np.asarray(s["packs"].kcol[:, st])
+        b = np.asarray(packs_g.kcol[:, st])
+        assert (a == b)[live].all(), st
+    live_a = np.concatenate([live] * npk.A, axis=2)       # (T, 16, ACK)
+    for st in (npk.S_MU, npk.S_C1, npk.S_C2):
+        a = np.asarray(s["packs"].suc[:, st])
+        b = np.asarray(packs_g.suc[:, st])
+        assert (a == b)[live_a].all(), st
 
 
 @pytest.mark.slow
@@ -207,7 +228,12 @@ def test_lite_plan_matches_full_plan(setup):
     lite, _ = nb.build_plan_batch(pn.cand, pn.cnt, pk.cand, pk.cnt,
                                   kidj, N_r, mt, c1t, c2t, A, S, dtype,
                                   lite=True)
-    dropped = {"col_same", "col_prec", "bcol_same", "bcol_suc"}
+    # slot maps are recomputed by value-equality in the kernels; the model
+    # parameter gathers are done on-device by table_gather_pallas (covered
+    # by test_table_gather_packs_match) — lite plans carry 1-wide dummies
+    dropped = {"col_same", "col_prec", "bcol_same", "bcol_suc",
+               "mu_k", "c1_k", "c2_k", "mu_suc", "c1_suc", "c2_suc",
+               "suc_vals"}
     for name in full._fields:
         if name in dropped:
             continue
