@@ -1512,6 +1512,11 @@ def ntc_train_pallas(packs: NTCPacks, fwd, ksT, Z_norm, trans_log,
             [pltpu.VMEM((RC, CK), jnp.float32)] * (5 + N_TERMS)
             + [pltpu.VMEM((3 * R, K), jnp.float32)]
         ),
+        # the (C, 640, 128) fwd-store block + 18 scratch accumulators put
+        # this kernel's scoped allocation at 18.4 MB at T_pad=16384 — just
+        # over the 16 MB default scoped-vmem limit (v5e has 128 MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(_tl_array(trans_log), packs.nrow, packs.kcol, packs.suc, packs.ksTn,
       ksT, packs.alw, packs.hd, fwd, zcol)
