@@ -28,6 +28,10 @@ def build_parser() -> ArgumentParser:
     p.add_argument("-e", "--epochs", type=int, default=1)
     p.add_argument("-q", "--qscore", type=float, default=10.0)
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--precision", choices=["fp64", "fp32"], default="fp64",
+                   help="fp64: reference-parity scan path; fp32: the "
+                        "Pallas/MXU fast training path (~60x on TPU, "
+                        "params within ~1e-4 of fp64)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the last trained_{epoch}_{batch} "
                         "checkpoint in the output dir (skips the batches "
@@ -55,6 +59,7 @@ def main(argv=None) -> None:
     trainer = Trainer(
         args.mode, args.pore, args.outdir, model_path,
         batch_size=args.batch_size, epochs=args.epochs, resume=args.resume,
+        precision=args.precision,
     )
 
     def jobs():

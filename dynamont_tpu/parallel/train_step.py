@@ -40,19 +40,32 @@ class ShardedTrainOut(NamedTuple):
 
 
 def make_sharded_train_step(mesh: Mesh, m1: float, e2: float, num_kmers: int,
-                            pad: int, B: int, dtype=jnp.float32):
+                            pad: int, B: int, dtype=jnp.float32,
+                            fast: bool | None = None):
     """Build the jitted SPMD training step for a fixed bucket shape.
 
     Inputs are the BandedBatch arrays (+ per-position kmer ids), sharded on
     their leading reads axis; R must be divisible by the mesh size.
+
+    fast=None selects the fp32 Pallas/MXU training path
+    (ops/nt_banded_train) automatically; fp64 keeps the exact scan path.
     """
     log_m1, log_e2 = math.log(m1), math.log(e2)
     axis = mesh.axis_names[0]
     eps = bb.z_epsilon(dtype)
+    if fast is None:
+        fast = jnp.dtype(dtype) == jnp.float32
 
     def shard_fn(sig, mu_pad, c1_pad, c2_pad, bstart, T, N, bw, kmer_ids_pad):
         batch = bb.BandedBatch(sig, mu_pad, c1_pad, c2_pad, bstart, T, N, bw, pad, B)
-        res = bb.banded_batch_train(batch, log_m1, log_e2, kmer_ids_pad, num_kmers)
+        if fast:
+            from dynamont_tpu.ops.nt_banded_train import banded_batch_train_fast
+
+            res = banded_batch_train_fast(
+                batch, log_m1, log_e2, kmer_ids_pad, num_kmers)
+        else:
+            res = bb.banded_batch_train(
+                batch, log_m1, log_e2, kmer_ids_pad, num_kmers)
         cells = T.astype(res.Zf.dtype) * B
         ok = (
             jnp.isfinite(res.Zf) & jnp.isfinite(res.Zb)

@@ -104,9 +104,14 @@ class Trainer:
 
     def __init__(self, mode: str, pore: str, outdir: str,
                  model_path: str, batch_size: int = 24, epochs: int = 1,
-                 resume: bool = False):
+                 resume: bool = False, precision: str = "fp64"):
         assert mode in ("basic", "resquiggle")
+        assert precision in ("fp64", "fp32")
         self.mode = mode
+        # fp64 = reference-parity scan path (EPSILON Z-invariant); fp32 =
+        # the Pallas/MXU fast path (ops/nt_banded_train, ~60x on TPU) with
+        # the dtype-scaled Z tolerance
+        self.precision = precision
         self.pore = pore
         self.rna = is_rna(pore)
         self.outdir = outdir
@@ -193,20 +198,29 @@ class Trainer:
             seq_to_kmer_ids(j.read, model.kmer_size, model.alphabet_size)
             for j in jobs
         ]
+        dtype = jnp.float64 if self.precision == "fp64" else jnp.float32
         batch = bb.prepare_batch(
             [j.signal for j in jobs], kids, model.means, model.stdevs,
-            dtype=jnp.float64,
+            dtype=dtype,
         )
         N_max = int(np.asarray(batch.N).max())
         kid_pad = np.zeros((len(jobs), N_max - 1), dtype=np.int32)
         for i, k in enumerate(kids):
             kid_pad[i, : len(k)] = k
-        res = bb.banded_batch_train(
+        train_args = (
             batch,
             math.log(self.transition_params["m1"]),
             math.log(self.transition_params["e2"]),
             jnp.asarray(kid_pad), model.num_kmers,
         )
+        if self.precision == "fp32":
+            from dynamont_tpu.ops.nt_banded_train import banded_batch_train_fast
+
+            res = banded_batch_train_fast(*train_args)
+            eps = bb.z_epsilon(jnp.float32)
+        else:
+            res = bb.banded_batch_train(*train_args)
+            eps = EPSILON
         Zf = np.asarray(res.Zf, np.float64)
         Zb = np.asarray(res.Zb, np.float64)
         T = np.asarray(batch.T, np.float64)
@@ -214,7 +228,7 @@ class Trainer:
         for i in range(len(jobs)):
             if not (
                 np.isfinite(Zf[i]) and np.isfinite(Zb[i])
-                and abs(Zf[i] - Zb[i]) / (T[i] * batch.B) <= EPSILON
+                and abs(Zf[i] - Zb[i]) / (T[i] * batch.B) <= eps
             ):
                 out.append(RuntimeError(
                     f"Z values between matrices do not match! Zf: {Zf[i]}, Zb: {Zb[i]}"

@@ -130,7 +130,21 @@ def save_pore_model_npz(path: str, model: PoreModel) -> None:
 # (ref: FileIO.py:86-109 readKmerModels/writeKmerModels)
 
 def read_kmer_models(path: str) -> dict[str, tuple[float, float]]:
-    """{kmer(5'->3') : (mean, stdev)} straight from a TSV, no reorientation."""
+    """{kmer(5'->3') : (mean, stdev)} straight from a TSV (no reorientation)
+    or from a packaged .npz (stored in 5'->3' index order), so the trainer
+    accepts the packaged default models as initial values."""
+    if path.endswith(".npz"):
+        from dynamont_tpu.utils.kmer import int2kmers_batch
+
+        with np.load(path) as z:
+            means = z["means"].astype(np.float64)
+            stdevs = z["stdevs"].astype(np.float64)
+            alphabet_size = int(z["alphabet_size"])
+            kmer_size = int(z["kmer_size"])
+        kmers = int2kmers_batch(np.arange(len(means)), alphabet_size,
+                                kmer_size, rna=False)
+        return {k: (float(m), float(s))
+                for k, m, s in zip(kmers, means, stdevs)}
     models: dict[str, tuple[float, float]] = {}
     with open(path) as f:
         header = f.readline().rstrip("\n").split("\t")
