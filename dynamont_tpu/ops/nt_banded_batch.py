@@ -92,6 +92,7 @@ def prepare_batch(
     band: int = 400,
     dtype=jnp.float32,
     t_pad_to: int = 256,
+    n_pad_to: int = 1,
 ) -> BandedBatch:
     """Pad a list of reads into one device batch.
 
@@ -109,8 +110,10 @@ def prepare_batch(
     pad = max_bw + 3
     T_pad = round_up(int(T_arr.max()), t_pad_to)
     # extra +B tail so every dynamic_slice window fits without clamping
-    # (XLA clamps out-of-range starts, which would silently shift windows)
-    N_pad = int(N_arr.max()) - 1 + 2 * pad + B
+    # (XLA clamps out-of-range starts, which would silently shift windows);
+    # n_pad_to buckets the position extent so varying-length batches reuse
+    # compiled programs
+    N_pad = round_up(int(N_arr.max()) - 1, n_pad_to) + 2 * pad + B
 
     log2pi = 1.8378770664093453
     np_dtype = np.dtype(jnp.dtype(dtype).name)

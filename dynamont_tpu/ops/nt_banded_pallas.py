@@ -105,11 +105,14 @@ def _pack_scal(*cols):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
-                M_out, E_out, cM, cE, wmu, wc1, wc2, *, B, C, G,
-                log_m1, log_e2):
+                M_out, E_out, cM, cE, wmu, wc1, wc2, *, B, C, G):
     c = pl.program_id(1)
     bw = scal_ref[:, 0:1]
     N = scal_ref[:, 1:2]
+    # transitions ride in scal lanes (runtime values, not compile-time
+    # constants) so training param updates never recompile the kernel
+    log_m1 = scal_ref[:, 2:3]
+    log_e2 = scal_ref[:, 3:4]
     jf = _iota_f((1, B), 1)
 
     @pl.when(c == 0)
@@ -165,7 +168,14 @@ def _fwd_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
     jax.lax.fori_loop(0, C, body, 0)
 
 
-def _fwd_wire(batch: bb.BandedBatch, Rp: int, Tc: int):
+def _trans_lanes(log_m1, log_e2, Rp: int):
+    """Per-read transition lanes for the scal pack (runtime inputs)."""
+    full = lambda v: jnp.broadcast_to(
+        jnp.asarray(v, jnp.float32), (Rp,))
+    return full(log_m1), full(log_e2)
+
+
+def _fwd_wire(batch: bb.BandedBatch, Rp: int, Tc: int, log_m1, log_e2):
     """Packed row stream + window inits for the forward kernel."""
     R, Tm1 = batch.sig.shape
     T_pad = Tm1 + 1
@@ -194,7 +204,9 @@ def _fwd_wire(batch: bb.BandedBatch, Rp: int, Tc: int):
     pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
     rows = _pack_rows(sig_r, pad_t(s1), pad_t(e_mu), pad_t(e_c1),
                       pad_t(e_c2), pad_t(bs_all))
-    scal = _pack_scal(_pad_reads(batch.bw, Rp), _pad_reads(batch.N, Rp))
+    lm, le = _trans_lanes(log_m1, log_e2, Rp)
+    scal = _pack_scal(_pad_reads(batch.bw, Rp), _pad_reads(batch.N, Rp),
+                      lm, le)
     return rows, scal, w0mu, w0c1, w0c2
 
 
@@ -211,12 +223,9 @@ def _forward_t(batch: bb.BandedBatch, log_m1: float, log_e2: float,
     C = CHUNK
     nc = (T_pad + C - 1) // C
     Tc = nc * C
-    rows, scal, w0mu, w0c1, w0c2 = _fwd_wire(batch, Rp, Tc)
+    rows, scal, w0mu, w0c1, w0c2 = _fwd_wire(batch, Rp, Tc, log_m1, log_e2)
 
-    kernel = functools.partial(
-        _fwd_kernel, B=B, C=C, G=G,
-        log_m1=np.float32(log_m1), log_e2=np.float32(log_e2),
-    )
+    kernel = functools.partial(_fwd_kernel, B=B, C=C, G=G)
     scal_spec = pl.BlockSpec((G, scal.shape[1]), lambda r, c: (r, 0),
                              memory_space=pltpu.VMEM)
     rows_spec = pl.BlockSpec((C, G, rows.shape[2]), lambda r, c: (c, r, 0),
@@ -256,12 +265,13 @@ def forward_pallas(batch: bb.BandedBatch, log_m1: float, log_e2: float,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
-                M_out, E_out, cM, cE, wmu, wc1, wc2, *, B, C, G, nc,
-                log_m1, log_e2):
+                M_out, E_out, cM, cE, wmu, wc1, wc2, *, B, C, G, nc):
     c = pl.program_id(1)  # chunk counter; chunk c covers rows from the END
     bw = scal_ref[:, 0:1]
     N = scal_ref[:, 1:2]
     T = scal_ref[:, 2:3]
+    log_m1 = scal_ref[:, 3:4]    # runtime transitions, as in _fwd_kernel
+    log_e2 = scal_ref[:, 4:5]
     jf = _iota_f((1, B), 1)
 
     @pl.when(c == 0)
@@ -322,7 +332,7 @@ def _bwd_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
     jax.lax.fori_loop(0, C, body, 0)
 
 
-def _bwd_wire(batch: bb.BandedBatch, Rp: int, Tc: int):
+def _bwd_wire(batch: bb.BandedBatch, Rp: int, Tc: int, log_m1, log_e2):
     R, Tm1 = batch.sig.shape
     T_pad = Tm1 + 1
     B = batch.B
@@ -349,8 +359,9 @@ def _bwd_wire(batch: bb.BandedBatch, Rp: int, Tc: int):
     pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
     rows = _pack_rows(sig_r, pad_t(sb), pad_t(e_mu), pad_t(e_c1),
                       pad_t(e_c2), pad_t(bs_all))
+    lm, le = _trans_lanes(log_m1, log_e2, Rp)
     scal = _pack_scal(_pad_reads(batch.bw, Rp), _pad_reads(batch.N, Rp),
-                      _pad_reads(batch.T, Rp))
+                      _pad_reads(batch.T, Rp), lm, le)
     return rows, scal, w0mu, w0c1, w0c2
 
 
@@ -364,12 +375,9 @@ def _backward_t(batch: bb.BandedBatch, log_m1: float, log_e2: float,
     C = CHUNK
     nc = (T_pad + C - 1) // C
     Tc = nc * C
-    rows, scal, w0mu, w0c1, w0c2 = _bwd_wire(batch, Rp, Tc)
+    rows, scal, w0mu, w0c1, w0c2 = _bwd_wire(batch, Rp, Tc, log_m1, log_e2)
 
-    kernel = functools.partial(
-        _bwd_kernel, B=B, C=C, G=G, nc=nc,
-        log_m1=np.float32(log_m1), log_e2=np.float32(log_e2),
-    )
+    kernel = functools.partial(_bwd_kernel, B=B, C=C, G=G, nc=nc)
     rev3 = lambda r, c: (nc - 1 - c, r, 0)
     scal_spec = pl.BlockSpec((G, scal.shape[1]), lambda r, c: (r, 0),
                              memory_space=pltpu.VMEM)

@@ -328,15 +328,38 @@ def banded_batch_train_fast(batch: bb.BandedBatch, log_m1, log_e2,
     Pallas forward/backward DP, the transitions kernel for m1/e2, and
     MXU emission stats.  Matches the scan path to ~1e-4 relative
     (fp32 reassociation); the scan path remains the parity oracle.
+
+    Jitted with the transitions as traced arguments: successive training
+    batches with updated m1/e2 (and bucketed shapes) reuse the compile.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _train_fast_jit(
+        batch.sig, batch.mu_pad, batch.c1_pad, batch.c2_pad, batch.bstart,
+        batch.T, batch.N, batch.bw, kmer_ids_pad,
+        jnp.asarray(log_m1, jnp.float32), jnp.asarray(log_e2, jnp.float32),
+        pad=batch.pad, B=batch.B, num_kmers=int(num_kmers),
+        interpret=bool(interpret),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad", "B", "num_kmers", "interpret"))
+def _train_fast_jit(sig, mu_pad, c1_pad, c2_pad, bstart, T, N, bw,
+                    kmer_ids_pad, log_m1, log_e2, *, pad, B, num_kmers,
+                    interpret):
+    batch = bb.BandedBatch(sig, mu_pad, c1_pad, c2_pad, bstart, T, N, bw,
+                           pad, B)
+    return _banded_batch_train_fast_impl(batch, log_m1, log_e2,
+                                         kmer_ids_pad, num_kmers, interpret)
+
+
+def _banded_batch_train_fast_impl(batch, log_m1, log_e2, kmer_ids_pad,
+                                  num_kmers, interpret):
     R, Tm1 = batch.sig.shape
     B = batch.B
-    forM, forE = _forward_t(batch, float(log_m1), float(log_e2),
-                            interpret=interpret)
-    backM, backE = _backward_t(batch, float(log_m1), float(log_e2),
-                               interpret=interpret)
+    forM, forE = _forward_t(batch, log_m1, log_e2, interpret=interpret)
+    backM, backE = _backward_t(batch, log_m1, log_e2, interpret=interpret)
 
     r_ar = jnp.arange(R)
     ctr = batch.bw + 1
@@ -345,8 +368,8 @@ def banded_batch_train_fast(batch: bb.BandedBatch, log_m1, log_e2,
 
     rawM1, rawE2 = transitions_pallas(batch, forE, backM, backE,
                                       interpret=interpret)
-    newM1 = rawM1 + jnp.float32(log_m1)
-    newE2 = rawE2 + jnp.float32(log_e2)
+    newM1 = rawM1 + jnp.asarray(log_m1, jnp.float32)
+    newE2 = rawE2 + jnp.asarray(log_e2, jnp.float32)
     Ae = jnp.logaddexp(newE2, newM1)
     fin = jnp.isfinite(Ae)
     newM1 = jnp.where(fin, newM1 - Ae, newM1)

@@ -199,11 +199,20 @@ class Trainer:
             for j in jobs
         ]
         dtype = jnp.float64 if self.precision == "fp64" else jnp.float32
+        # fp32 buckets shapes coarsely (T to 2048, N to 256) so successive
+        # batches of varying read lengths reuse the compiled kernels; the
+        # scan path's shapes stay tight (fp64 compile cost is per batch
+        # anyway since the transitions are baked into the scan programs)
+        fast = self.precision == "fp32"
         batch = bb.prepare_batch(
             [j.signal for j in jobs], kids, model.means, model.stdevs,
             dtype=dtype,
+            t_pad_to=2048 if fast else 256,
+            n_pad_to=256 if fast else 1,
         )
         N_max = int(np.asarray(batch.N).max())
+        if fast:
+            N_max = (N_max - 1 + 255) // 256 * 256 + 1
         kid_pad = np.zeros((len(jobs), N_max - 1), dtype=np.int32)
         for i, k in enumerate(kids):
             kid_pad[i, : len(k)] = k
