@@ -50,13 +50,14 @@ def make_sharded_train_step(mesh: Mesh, m1: float, e2: float, num_kmers: int,
     fast=None selects the fp32 Pallas/MXU training path
     (ops/nt_banded_train) automatically; fp64 keeps the exact scan path.
     """
-    log_m1, log_e2 = math.log(m1), math.log(e2)
+    log_m1_0, log_e2_0 = math.log(m1), math.log(e2)
     axis = mesh.axis_names[0]
     eps = bb.z_epsilon(dtype)
     if fast is None:
         fast = jnp.dtype(dtype) == jnp.float32
 
-    def shard_fn(sig, mu_pad, c1_pad, c2_pad, bstart, T, N, bw, kmer_ids_pad):
+    def shard_fn(sig, mu_pad, c1_pad, c2_pad, bstart, T, N, bw, kmer_ids_pad,
+                 log_m1, log_e2):
         batch = bb.BandedBatch(sig, mu_pad, c1_pad, c2_pad, bstart, T, N, bw, pad, B)
         if fast:
             from dynamont_tpu.ops.nt_banded_train import banded_batch_train_fast
@@ -90,7 +91,7 @@ def make_sharded_train_step(mesh: Mesh, m1: float, e2: float, num_kmers: int,
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis)),
+                  P(axis), P(axis), P(), P()),
         out_specs=ShardedTrainOut(
             per_read=bb.BandedTrainResult(
                 Zf=P(axis), Zb=P(axis), m1=P(axis), e2=P(axis),
@@ -105,11 +106,19 @@ def make_sharded_train_step(mesh: Mesh, m1: float, e2: float, num_kmers: int,
     )
 
     jitted = jax.jit(sharded)
+    fdt = jnp.float32 if fast else jnp.dtype(dtype)
 
-    def step(batch: bb.BandedBatch, kmer_ids_pad) -> ShardedTrainOut:
+    def step(batch: bb.BandedBatch, kmer_ids_pad,
+             m1_cur: float | None = None,
+             e2_cur: float | None = None) -> ShardedTrainOut:
+        """Run one step; m1_cur/e2_cur override the construction-time
+        transitions WITHOUT recompiling (they enter as traced scalars)."""
+        lm = log_m1_0 if m1_cur is None else math.log(m1_cur)
+        le = log_e2_0 if e2_cur is None else math.log(e2_cur)
         return jitted(
             batch.sig, batch.mu_pad, batch.c1_pad, batch.c2_pad, batch.bstart,
             batch.T, batch.N, batch.bw, kmer_ids_pad,
+            jnp.asarray(lm, fdt), jnp.asarray(le, fdt),
         )
 
     return step

@@ -216,19 +216,16 @@ class Trainer:
         kid_pad = np.zeros((len(jobs), N_max - 1), dtype=np.int32)
         for i, k in enumerate(kids):
             kid_pad[i, : len(k)] = k
-        train_args = (
-            batch,
-            math.log(self.transition_params["m1"]),
-            math.log(self.transition_params["e2"]),
-            jnp.asarray(kid_pad), model.num_kmers,
-        )
-        if self.precision == "fp32":
-            from dynamont_tpu.ops.nt_banded_train import banded_batch_train_fast
-
-            res = banded_batch_train_fast(*train_args)
+        if fast:
+            res = self._run_fast_step(batch, kid_pad, model)
             eps = bb.z_epsilon(jnp.float32)
         else:
-            res = bb.banded_batch_train(*train_args)
+            res = bb.banded_batch_train(
+                batch,
+                math.log(self.transition_params["m1"]),
+                math.log(self.transition_params["e2"]),
+                jnp.asarray(kid_pad), model.num_kmers,
+            )
             eps = EPSILON
         Zf = np.asarray(res.Zf, np.float64)
         Zb = np.asarray(res.Zb, np.float64)
@@ -257,6 +254,41 @@ class Trainer:
             }
             out.append((trans, emis, float(Zb[i])))
         return out
+
+    def _run_fast_step(self, batch, kid_pad, model):
+        """fp32 training step: single-device jitted fast path, or the
+        shard_map data-parallel step over every visible device.  The step
+        is cached per bucket geometry; transition updates between batches
+        enter as traced scalars, so neither path recompiles per batch."""
+        import math
+
+        import jax
+        import jax.numpy as jnp
+
+        from dynamont_tpu.ops.nt_banded_train import banded_batch_train_fast
+
+        m1 = self.transition_params["m1"]
+        e2 = self.transition_params["e2"]
+        if jax.device_count() == 1:
+            return banded_batch_train_fast(
+                batch, math.log(m1), math.log(e2),
+                jnp.asarray(kid_pad), model.num_kmers)
+
+        from dynamont_tpu.parallel import make_mesh, make_sharded_train_step
+        from dynamont_tpu.parallel.train_step import shard_batch_for_mesh
+
+        if not hasattr(self, "_mesh"):
+            self._mesh = make_mesh(len(jax.devices()))
+            self._sharded_steps = {}
+        sbatch, skid, _ = shard_batch_for_mesh(batch, kid_pad, self._mesh)
+        key = (sbatch.pad, sbatch.B)
+        step = self._sharded_steps.get(key)
+        if step is None:
+            step = make_sharded_train_step(
+                self._mesh, m1, e2, model.num_kmers,
+                pad=sbatch.pad, B=sbatch.B, dtype=jnp.float32)
+            self._sharded_steps[key] = step
+        return step(sbatch, skid, m1_cur=m1, e2_cur=e2).per_read
 
     def _train_batch_ntc(self, jobs: list) -> list:
         """All reads of a batch through the batched NTC Baum-Welch
