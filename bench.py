@@ -81,17 +81,20 @@ def bench_banded(model, items, metrics):
     if n_err:
         print(f"banded warmup errors: {n_err}/{len(warm)}", file=sys.stderr)
 
-    # best of 2 timed runs: the host<->device tunnel link is shared and
-    # noisy (observed 71-86 reads/s on identical work); the best run is
-    # the honest measure of the pipeline itself
-    dt, n_ok = 1e18, 0
+    # best of 3 timed runs (median reported alongside): the host<->device
+    # tunnel link is shared and noisy (observed 71-86 reads/s on identical
+    # work); the best run is the honest measure of the pipeline itself,
+    # the median shows the run-to-run spread (methodology in BASELINE.md)
+    times, dt, n_ok = [], 1e18, 0
     for _ in range(3):
         t0 = time.perf_counter()
         outs = eng.run(items)
         d = time.perf_counter() - t0
+        times.append(d)
         if d < dt:
             dt = d
             n_ok = sum(1 for o in outs if o.error is None)
+    dt_med = sorted(times)[len(times) // 2]
     reads_per_s = n_ok / dt
     total_samples = sum(len(it.signal) for it in items)
     # DP cells: T x B band cells per wavefront pass; fwd + bwd + fused
@@ -116,6 +119,12 @@ def bench_banded(model, items, metrics):
         "vs_baseline": round(
             (cells / dt) / (REF_BANDED_READS_PER_S * 3 * T_TRIM * BAND_B), 1
         ),
+    })
+    metrics.append({
+        "metric": "banded_throughput_median_of_3",
+        "value": round(n_ok / dt_med, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(n_ok / dt_med / REF_BANDED_READS_PER_S, 1),
     })
 
 

@@ -28,10 +28,13 @@ def build_parser() -> ArgumentParser:
     p.add_argument("-e", "--epochs", type=int, default=1)
     p.add_argument("-q", "--qscore", type=float, default=10.0)
     p.add_argument("--max_batches", type=int, default=None)
-    p.add_argument("--precision", choices=["fp64", "fp32"], default="fp64",
-                   help="fp64: reference-parity scan path; fp32: the "
-                        "Pallas/MXU fast training path (~60x on TPU, "
-                        "params within ~1e-4 of fp64)")
+    p.add_argument("--precision", choices=["auto", "fp64", "fp32"],
+                   default="auto",
+                   help="auto (default): fp32 Pallas/MXU fast path on TPU, "
+                        "fp64 reference-parity scan path elsewhere; fp64: "
+                        "always the scan path; fp32: always the fast path "
+                        "(~60x on TPU; means/stdevs ~1e-4, transition "
+                        "params m1/e2 ~4e-3 rel of fp64)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the last trained_{epoch}_{batch} "
                         "checkpoint in the output dir (skips the batches "

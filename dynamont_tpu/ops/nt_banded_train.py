@@ -342,6 +342,15 @@ def banded_batch_train_fast(batch: bb.BandedBatch, log_m1, log_e2,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+        if interpret:
+            import warnings
+
+            warnings.warn(
+                "banded_batch_train_fast: no TPU backend — the Mosaic "
+                "kernels run in (slow) interpret mode. Use the fp64 scan "
+                "path (Trainer precision='fp64'/'auto') off-TPU.",
+                RuntimeWarning, stacklevel=2,
+            )
     return _train_fast_jit(
         batch.sig, batch.mu_pad, batch.c1_pad, batch.c2_pad, batch.bstart,
         batch.T, batch.N, batch.bw, kmer_ids_pad,

@@ -106,11 +106,19 @@ class Trainer:
                  model_path: str, batch_size: int = 24, epochs: int = 1,
                  resume: bool = False, precision: str = "fp64"):
         assert mode in ("basic", "resquiggle")
-        assert precision in ("fp64", "fp32")
+        assert precision in ("auto", "fp64", "fp32")
         self.mode = mode
         # fp64 = reference-parity scan path (EPSILON Z-invariant); fp32 =
         # the Pallas/MXU fast path (ops/nt_banded_train, ~60x on TPU) with
-        # the dtype-scaled Z tolerance
+        # the dtype-scaled Z tolerance. "auto" picks the same way the
+        # inference engines do: the fast path on a real TPU, the parity
+        # scan path everywhere else.
+        if precision == "auto":
+            import jax
+
+            precision = "fp32" if jax.default_backend() == "tpu" else "fp64"
+            print(f"precision auto -> {precision} "
+                  f"({jax.default_backend()} backend)", file=sys.stderr)
         self.precision = precision
         self.pore = pore
         self.rna = is_rna(pore)
