@@ -72,6 +72,7 @@ class BandedBatchEngine:
         t_pad_to: int = 512,
         device_pipeline: bool = True,
         hampel_on_device: bool = False,
+        devices: list | None = None,
     ):
         self.model = model
         self.pore = pore
@@ -83,10 +84,17 @@ class BandedBatchEngine:
         self.max_batch_samples = max_batch_samples
         self.t_pad_to = t_pad_to
         self.device_pipeline = device_pipeline
+        # every local accelerator by default: buckets round-robin across
+        # the chips of one host in a single process (the reference scales
+        # over reads with mp.Pool, ref: segment.py:292-317; here the
+        # embarrassingly-parallel axis is bucket -> chip)
+        self.devices = list(devices) if devices else jax.local_devices()
+        self._next_dev = 0
         # wall-clock accounting across run() calls: dispatch = host prep +
-        # async submit, collect = device wait + D2H + summary decode
+        # async submit, collect = device wait + D2H + summary decode;
+        # device_buckets counts launches per device id
         self.profile = {"buckets": 0, "reads": 0, "dispatch_s": 0.0,
-                        "collect_s": 0.0}
+                        "collect_s": 0.0, "device_buckets": {}}
         if device_pipeline:
             means, c1, c2 = model.score_params()
             self._dev_run = dv.make_device_fn(
@@ -155,11 +163,15 @@ class BandedBatchEngine:
             seq_to_kmer_ids(it.read, self.model.kmer_size, self.model.alphabet_size)
             for it in its
         ]
+        dev = self.devices[self._next_dev % len(self.devices)]
+        self._next_dev += 1
         wire = dv.prepare_wire(
             [it.signal for it in its], kmer_ids, band=self.band,
-            t_pad_to=self.t_pad_to,
+            t_pad_to=self.t_pad_to, device=dev,
         )
-        res = self._dev_run(wire)
+        res = self._dev_run(wire, device=dev)
+        db = self.profile["device_buckets"]
+        db[str(dev.id)] = db.get(str(dev.id), 0) + 1
         return its, gidx, wire, res
 
     def _collect_bucket(self, bucket, outputs):

@@ -50,10 +50,9 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
     nt = NT_TRANSITIONS[pore]
     log_ppm, log_ppe = math.log(nt["m1"]), math.log(nt["e2"])
     means, c1, c2 = model.score_params()
-    means_t = jax.device_put(jnp.asarray(means, dtype))
-    sd_t = jax.device_put(jnp.asarray(model.stdevs, dtype))
-    c1_t = jax.device_put(jnp.asarray(c1, dtype))
-    c2_t = jax.device_put(jnp.asarray(c2, dtype))
+    tables_host = (jnp.asarray(means, dtype), jnp.asarray(model.stdevs, dtype),
+                   jnp.asarray(c1, dtype), jnp.asarray(c2, dtype))
+    table_cache: dict = {None: tuple(jax.device_put(t) for t in tables_host)}
     A = model.alphabet_size
     S = model.kmer_size
     K = model.num_kmers
@@ -139,7 +138,11 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
         )
 
     def call(sig, kmer_ids, T_r, N_r, CN: int, CK0: int, S_max: int,
-             use_pallas: bool = False, interpret: bool = False):
+             use_pallas: bool = False, interpret: bool = False, device=None):
+        if device not in table_cache:
+            table_cache[device] = tuple(
+                jax.device_put(t, device) for t in tables_host)
+        means_t, sd_t, c1_t, c2_t = table_cache[device]
         return run(sig, kmer_ids, T_r, N_r, means_t, sd_t, c1_t, c2_t,
                    CN=CN, CK0=CK0, S_max=S_max, use_pallas=use_pallas,
                    interpret=interpret)
@@ -147,54 +150,69 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
     return call
 
 
+def ntc_train_bucket_program(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a,
+                             tl_arr, *, A: int, S: int, K: int,
+                             log_ppm: float, log_ppe: float, CN: int,
+                             CK0: int, interpret: bool = False) -> dict:
+    """Traceable Baum-Welch bucket program (Mosaic kernel path, fp32,
+    R=16): the shared body behind the jitted single-device entry below
+    AND the shard_map body of parallel/ntc_step (where each device runs
+    it on its local reads shard). Ref semantics: NTC.cpp:923-1130."""
+    from dynamont_tpu.ops import ntc_pallas as npk
+    from dynamont_tpu.ops import ntc_pre_pallas as npp
+
+    dtype = jnp.float32
+    trans_log = {k: tl_arr[i] for i, k in enumerate(npk.TL_KEYS)}
+    pn = npp.pre_tn_pallas(sig, kmer_ids, N_r, T_r, mu, sd,
+                           log_ppm, log_ppe, CN, interpret=interpret)
+    pk = npp.pre_tk_pallas(sig, T_r, mu, c1a, c2a, log_ppm, log_ppe,
+                           A, CK0, interpret=interpret)
+    plan, dims = nb.build_plan_batch(
+        pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
+        mu, c1a, c2a, A, S, dtype, lite=True,
+    )
+    R = dims[0]
+    sigd = sig.astype(dtype)
+    packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K,
+                                   tables=(mu, c1a, c2a),
+                                   interpret=interpret)
+    fwd = npk.ntc_fwd_store_pallas(packs, trans_log,
+                                   interpret=interpret)
+    rows = (npk.E_ST * npk.RC
+            + jnp.arange(R)[:, None] * npk.CN
+            + jnp.arange(npk.CN)[None, :])
+    fwdE_final = fwd[(T_r - 1)[:, None], rows, :]     # (R, CN, CK)
+    Zf3 = nb.ntc_zf_batch(plan, dims, fwdE_final, N_r, T_r)
+    tacc, em, b0 = npk.ntc_train_pallas(
+        packs, fwd, packs.ksT, Zf3, trans_log, interpret=interpret)
+    bwd0 = (b0.reshape(5, R, npk.CN, npk.CK)
+            .transpose(1, 0, 2, 3).reshape(R, -1))
+    Zb3 = nb.ntc_zb_batch(plan, dims, bwd0)
+    term_lse = logsumexp(
+        tacc.reshape(npk.N_TERMS, R, npk.CN, npk.CK), axis=(2, 3))
+    return dict(
+        Zf_tn=pn.Zf, Zb_tn=pn.Zb, ovf_tn=pn.overflow,
+        Zf_tk=pk.Zf, Zb_tk=pk.Zb, ovf_tk=pk.overflow,
+        Zf=Zf3, Zb=Zb3, term_lse=term_lse,
+        em=em.reshape(R, 3, K),
+    )
+
+
 @functools.lru_cache(maxsize=8)
 def _ntc_train_run(A: int, S: int, K: int, log_ppm: float, log_ppe: float):
     """Module-cached jitted Baum-Welch bucket program: model tables AND
     trained transitions are runtime arguments, so per-batch parameter
     updates during training never retrace or recompile the kernels."""
-    dtype = jnp.float32
 
     @functools.partial(
         jax.jit, static_argnames=("CN", "CK0", "interpret")
     )
     def run(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a, tl_arr, CN, CK0,
             interpret=False):
-        from dynamont_tpu.ops import ntc_pallas as npk
-        from dynamont_tpu.ops import ntc_pre_pallas as npp
-
-        trans_log = {k: tl_arr[i] for i, k in enumerate(npk.TL_KEYS)}
-        pn = npp.pre_tn_pallas(sig, kmer_ids, N_r, T_r, mu, sd,
-                               log_ppm, log_ppe, CN, interpret=interpret)
-        pk = npp.pre_tk_pallas(sig, T_r, mu, c1a, c2a, log_ppm, log_ppe,
-                               A, CK0, interpret=interpret)
-        plan, dims = nb.build_plan_batch(
-            pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
-            mu, c1a, c2a, A, S, dtype, lite=True,
-        )
-        R = dims[0]
-        sigd = sig.astype(dtype)
-        packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K,
-                                       tables=(mu, c1a, c2a),
-                                       interpret=interpret)
-        fwd = npk.ntc_fwd_store_pallas(packs, trans_log,
-                                       interpret=interpret)
-        rows = (npk.E_ST * npk.RC
-                + jnp.arange(R)[:, None] * npk.CN
-                + jnp.arange(npk.CN)[None, :])
-        fwdE_final = fwd[(T_r - 1)[:, None], rows, :]     # (R, CN, CK)
-        Zf3 = nb.ntc_zf_batch(plan, dims, fwdE_final, N_r, T_r)
-        tacc, em, b0 = npk.ntc_train_pallas(
-            packs, fwd, packs.ksT, Zf3, trans_log, interpret=interpret)
-        bwd0 = (b0.reshape(5, R, npk.CN, npk.CK)
-                .transpose(1, 0, 2, 3).reshape(R, -1))
-        Zb3 = nb.ntc_zb_batch(plan, dims, bwd0)
-        term_lse = logsumexp(
-            tacc.reshape(npk.N_TERMS, R, npk.CN, npk.CK), axis=(2, 3))
-        return dict(
-            Zf_tn=pn.Zf, Zb_tn=pn.Zb, ovf_tn=pn.overflow,
-            Zf_tk=pk.Zf, Zb_tk=pk.Zb, ovf_tk=pk.overflow,
-            Zf=Zf3, Zb=Zb3, term_lse=term_lse,
-            em=em.reshape(R, 3, K),
+        return ntc_train_bucket_program(
+            sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a, tl_arr,
+            A=A, S=S, K=K, log_ppm=log_ppm, log_ppe=log_ppe,
+            CN=CN, CK0=CK0, interpret=interpret,
         )
 
     return run
@@ -213,16 +231,19 @@ def make_ntc_train_fn(model: PoreModel, pore: str,
     log_ppm, log_ppe = math.log(nt["m1"]), math.log(nt["e2"])
     means, c1, c2 = model.score_params()
     dtype = jnp.float32
-    means_t = jax.device_put(jnp.asarray(means, dtype))
-    sd_t = jax.device_put(jnp.asarray(model.stdevs, dtype))
-    c1_t = jax.device_put(jnp.asarray(c1, dtype))
-    c2_t = jax.device_put(jnp.asarray(c2, dtype))
-    tl_arr = jnp.asarray([math.log(ntk[k]) for k in TL_KEYS], dtype)
+    tables_host = (jnp.asarray(means, dtype), jnp.asarray(model.stdevs, dtype),
+                   jnp.asarray(c1, dtype), jnp.asarray(c2, dtype),
+                   jnp.asarray([math.log(ntk[k]) for k in TL_KEYS], dtype))
+    table_cache: dict = {None: tuple(jax.device_put(t) for t in tables_host)}
     run = _ntc_train_run(model.alphabet_size, model.kmer_size,
                          model.num_kmers, log_ppm, log_ppe)
 
     def call(sig, kmer_ids, T_r, N_r, CN: int, CK0: int,
-             interpret: bool = False):
+             interpret: bool = False, device=None):
+        if device not in table_cache:
+            table_cache[device] = tuple(
+                jax.device_put(t, device) for t in tables_host)
+        means_t, sd_t, c1_t, c2_t, tl_arr = table_cache[device]
         return run(sig, kmer_ids, T_r, N_r, means_t, sd_t, c1_t, c2_t,
                    tl_arr, CN=CN, CK0=CK0, interpret=interpret)
 
@@ -301,6 +322,7 @@ class NTCBatchEngine:
         fallback: bool = True,
         pallas: bool | None = None,  # None = auto (TPU + fp32)
         pallas_interpret: bool = False,  # CI: run kernels in interpret mode
+        devices: list | None = None,  # round-robin targets (None = all local)
     ):
         if model.kmer_size > 5:
             # documented 9-mer fallback: NTC runs on the reduced 5-mer
@@ -345,9 +367,15 @@ class NTCBatchEngine:
         self.cap_n = cap_n
         self.cap_k = cap_k
         self.fallback = fallback
+        # buckets round-robin across every local chip in one process (the
+        # read axis is embarrassingly parallel, like the reference's
+        # mp.Pool over reads, ref: segment.py:292-317)
+        self.devices = list(devices) if devices else jax.local_devices()
+        self._next_dev = 0
         # wall-clock accounting across run() calls (see --profile)
         self.profile = {"buckets": 0, "reads": 0, "dispatch_s": 0.0,
-                        "collect_s": 0.0, "exact_retries": 0, "exact_s": 0.0}
+                        "collect_s": 0.0, "exact_retries": 0, "exact_s": 0.0,
+                        "device_buckets": {}}
         self._fn = make_ntc_batch_fn(model, pore, transition_overrides, dtype)
         self._train_fn = None  # built lazily by train()
         self._eps = EPSILON if jnp.dtype(dtype) == jnp.float64 else FP32_EPSILON
@@ -433,14 +461,24 @@ class NTCBatchEngine:
             kid[j, : N_arr[j] - 1] = kj
         return T_arr, N_arr, sig, kid, N2
 
+    def _next_device(self):
+        dev = self.devices[self._next_dev % len(self.devices)]
+        self._next_dev += 1
+        db = self.profile["device_buckets"]
+        db[str(dev.id)] = db.get(str(dev.id), 0) + 1
+        return dev
+
     def _dispatch(self, gidx, items):
         T_arr, N_arr, sig, kid, N2 = self._pad_bucket(gidx, items)
         # segment cap: one per base plus polish slack (overflow -> fallback)
         S_max = round_up(N2 + N2 // 4 + 64, 128)
+        dev = self._next_device()
         res = self._fn(
-            jnp.asarray(sig), jnp.asarray(kid), jnp.asarray(T_arr),
-            jnp.asarray(N_arr), CN=self.cap_n, CK0=self.cap_k, S_max=S_max,
+            jax.device_put(sig, dev), jax.device_put(kid, dev),
+            jax.device_put(T_arr, dev), jax.device_put(N_arr, dev),
+            CN=self.cap_n, CK0=self.cap_k, S_max=S_max,
             use_pallas=self.pallas, interpret=self.pallas_interpret,
+            device=dev,
         )
         return gidx, T_arr, N_arr, res
 
@@ -559,10 +597,12 @@ class NTCBatchEngine:
         pending = []
         for gidx in self._buckets(valid, items):
             T_arr, N_arr, sig, kid, _ = self._pad_bucket(gidx, items)
+            dev = self._next_device()
             res = self._train_fn(
-                jnp.asarray(sig), jnp.asarray(kid), jnp.asarray(T_arr),
-                jnp.asarray(N_arr), CN=self.cap_n, CK0=self.cap_k,
-                interpret=self.pallas_interpret,
+                jax.device_put(sig, dev), jax.device_put(kid, dev),
+                jax.device_put(T_arr, dev), jax.device_put(N_arr, dev),
+                CN=self.cap_n, CK0=self.cap_k,
+                interpret=self.pallas_interpret, device=dev,
             )
             pending.append((gidx, T_arr, N_arr, res))
         K = self.model.num_kmers

@@ -81,9 +81,14 @@ def prepare_wire(
     t_pad_to: int = 512,
     dacs: list[np.ndarray] | None = None,
     affines: list[tuple[float, float]] | None = None,
+    device=None,
 ) -> WireBatch:
     """Pack reads into the wire format. Pass either float `signals` (they are
-    int16-quantized here) or raw `dacs` + per-read `affines` (a, b)."""
+    int16-quantized here) or raw `dacs` + per-read `affines` (a, b).
+
+    `device` places the wire arrays on a specific local device (one H2D
+    straight to the target; the engine round-robins buckets across
+    `jax.local_devices()`). None keeps the default-device behavior."""
     if dacs is None:
         assert signals is not None
         enc = [quantize_signal(s) for s in signals]
@@ -114,11 +119,13 @@ def prepare_wire(
         shift = np.zeros(T_pad, dtype=np.uint8)
         shift[1:T] = geom.shift[1:].astype(np.uint8)
         bits[i] = np.packbits(shift, bitorder="little")
+    put = (lambda x: jax.device_put(x, device)) if device is not None \
+        else jnp.asarray
     return WireBatch(
-        dacs=jnp.asarray(dac_arr), aff_a=jnp.asarray(a_arr),
-        aff_b=jnp.asarray(b_arr), kmer_ids=jnp.asarray(kid_arr),
-        shift_bits=jnp.asarray(bits), T=jnp.asarray(T_arr),
-        N=jnp.asarray(N_arr), bw=jnp.asarray(bw_arr),
+        dacs=put(dac_arr), aff_a=put(a_arr),
+        aff_b=put(b_arr), kmer_ids=put(kid_arr),
+        shift_bits=put(bits), T=put(T_arr),
+        N=put(N_arr), bw=put(bw_arr),
         pad=pad, B=B, N_max=N_max, T_pad=T_pad,
     )
 
@@ -303,9 +310,28 @@ def make_device_fn(m1: float, e2: float, means, c1, c2, dtype=jnp.float32,
     import functools
 
     log_m1, log_e2 = math.log(m1), math.log(e2)
-    means_t = jax.device_put(jnp.asarray(means, dtype))
-    c1_t = jax.device_put(jnp.asarray(c1, dtype))
-    c2_t = jax.device_put(jnp.asarray(c2, dtype))
+    means_np = jnp.asarray(np.asarray(means), dtype)
+    c1_np = jnp.asarray(np.asarray(c1), dtype)
+    c2_np = jnp.asarray(np.asarray(c2), dtype)
+    # one table copy per device the engine dispatches to (round-robin
+    # multi-chip inference keeps the tables resident on every chip)
+    table_cache: dict = {}
+
+    def _tables(device):
+        key = device
+        if key not in table_cache:
+            if device is None:
+                table_cache[key] = (
+                    jax.device_put(means_np), jax.device_put(c1_np),
+                    jax.device_put(c2_np),
+                )
+            else:
+                table_cache[key] = (
+                    jax.device_put(means_np, device),
+                    jax.device_put(c1_np, device),
+                    jax.device_put(c2_np, device),
+                )
+        return table_cache[key]
 
     @functools.partial(
         jax.jit, static_argnames=("pad", "B", "N_max", "T_pad")
@@ -318,7 +344,8 @@ def make_device_fn(m1: float, e2: float, means, c1, c2, dtype=jnp.float32,
             wire, mt, c1a, c2a, log_m1, log_e2, dtype, hampel
         )
 
-    def run(wire: WireBatch) -> DeviceSegResult:
+    def run(wire: WireBatch, device=None) -> DeviceSegResult:
+        means_t, c1_t, c2_t = _tables(device)
         return run_arrays(
             wire.dacs, wire.aff_a, wire.aff_b, wire.kmer_ids, wire.shift_bits,
             wire.T, wire.N, wire.bw, means_t, c1_t, c2_t,

@@ -302,16 +302,68 @@ class Trainer:
         """All reads of a batch through the batched NTC Baum-Welch
         kernels (models/ntc_batch.NTCBatchEngine.train); on CPU (or with
         kernels disabled) the engine runs the exact per-read path, so
-        this is always safe to call in resquiggle mode."""
+        this is always safe to call in resquiggle mode. On a multi-chip
+        TPU host the batch instead runs as ONE shard_map step over the
+        reads mesh axis (parallel/ntc_step, psum-pooled statistics)."""
+        import jax
+
         from dynamont_tpu.models.batch import BatchItem
         from dynamont_tpu.models.ntc_batch import NTCBatchEngine
 
         model = pore_model_from_dict(self.kmer_models, self.rna)
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        if on_tpu and jax.device_count() > 1 and model.kmer_size <= 5:
+            return self._train_batch_ntc_sharded(jobs, model)
         eng = NTCBatchEngine(
             model, self.pore, self.transition_params,
             batch_size=max(1, len(jobs)),
         )
         return eng.train([BatchItem(j.signal, j.read) for j in jobs])
+
+    def _train_batch_ntc_sharded(self, jobs: list, model) -> list:
+        """SPMD NTC Baum-Welch over all chips: per-read estimates from the
+        gathered per-read outputs (pooling stays in the ManagedList, same
+        as the single-device path), Z-gated reads re-run exactly."""
+        import numpy as np
+
+        from dynamont_tpu.models.ntc_batch import (
+            emissions_from_moments, trans_from_terms,
+        )
+        from dynamont_tpu.parallel import make_mesh
+        from dynamont_tpu.parallel.ntc_step import (
+            make_ntc_sharded_train_step, prepare_ntc_shard,
+        )
+
+        import jax
+
+        if not hasattr(self, "_ntc_mesh"):
+            self._ntc_mesh = make_mesh(len(jax.devices()))
+            self._ntc_step = make_ntc_sharded_train_step(
+                self._ntc_mesh, model, self.pore)
+        shard = prepare_ntc_shard(
+            [(j.signal, j.read) for j in jobs], model, self._ntc_mesh)
+        res = self._ntc_step(shard, tl_overrides={
+            k: self.transition_params[k]
+            for k in ("a1", "a2", "p1", "p2", "p3", "s1", "s2", "s3",
+                      "e2", "e3", "e4", "i1", "i2")
+        })
+        ok = np.asarray(res["ok"])
+        term_lse = np.asarray(res["term_lse"])
+        em = np.asarray(res["em"])
+        Zf = np.asarray(res["Zf"], np.float64)
+        out = []
+        for i, j in enumerate(jobs):
+            if not ok[i]:
+                # cap overflow / Z gate: exact per-read fp64 fallback
+                try:
+                    out.append(self._train_read(j))
+                except Exception as e:
+                    out.append(e)
+                continue
+            trans = trans_from_terms(term_lse[:, i])
+            emis = emissions_from_moments(em[i], model)
+            out.append((trans, emis, float(Zf[i])))
+        return out
 
     def _train_read(self, job):
         model = pore_model_from_dict(self.kmer_models, self.rna)
