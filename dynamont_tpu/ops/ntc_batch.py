@@ -51,6 +51,31 @@ A_ST, P_ST, S_ST, E_ST, I_ST = 0, 1, 2, 3, 4
 # per-column candidate selection (fused into the pre-pass scans)
 # ---------------------------------------------------------------------------
 
+def _topk_maxmask(U, cap: int):
+    """Exact top-cap by iterative max-extraction. Matches lax.top_k
+    (descending, ties -> lower index first: argmax picks the first
+    occurrence and masking one index at a time preserves stable tie
+    order). XLA fuses the `cap` passes into one sweep over U, skipping
+    top_k's full per-column sort network — measured 72 ms vs 172 ms for
+    (rows, 2048) cap=8 on TPU v5e. Exhausted columns repeat index 0 with
+    -inf values; select_topk never includes entries past the 95%-mass
+    crossing, which always precedes the -inf tail (run hits tot >= 0.95*tot
+    at the last finite value), so the duplicates are unreachable
+    downstream. The one divergence from top_k: an all--inf LIVE column
+    yields cand [0]*cap instead of [0..cap-1] — but such a column sets
+    overflow=True, which retires the whole read to the fallback ladder
+    before any candidate is consumed."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, U.shape, U.ndim - 1)
+    u = U
+    vals, idxs = [], []
+    for _ in range(cap):
+        i = jnp.argmax(u, axis=-1).astype(jnp.int32)
+        vals.append(jnp.max(u, axis=-1))
+        idxs.append(i)
+        u = jnp.where(lane == i[..., None], NEG_INF, u)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
 def select_topk(U, cap: int, ge_break: bool, col_live, sentinel: int):
     """Reference column selection on unnormalized posteriors.
 
@@ -64,7 +89,10 @@ def select_topk(U, cap: int, ge_break: bool, col_live, sentinel: int):
     (descending value) with the valid entries as a prefix and `sentinel`
     elsewhere, count, overflow).
     """
-    vals, idx = jax.lax.top_k(U, cap)  # desc, ties -> lower index first
+    if cap <= 16:
+        vals, idx = _topk_maxmask(U, cap)
+    else:
+        vals, idx = jax.lax.top_k(U, cap)  # desc, ties -> lower idx first
     # crossing test in exp space relative to the column max: one exp +
     # cumsum instead of an associative logaddexp scan (7 levels x
     # exp/log per element) + a separate logsumexp; exactly the same
@@ -342,14 +370,25 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     slot_iota = jnp.arange(CKm, dtype=jnp.int32)[None]
     CK0 = cand_k0.shape[1]
     if lite:
-        # first-slot-wins dedup + TK membership as fused eq-reduces
-        # (select_topk sentinels invalid candidates to K, so no count
-        # masks are needed: K never equals a live value)
-        eq = ks[:, :, None] == ks[:, None, :]            # (T, src, dst)
-        live = (ks < K) & ~(
-            eq & (slot_iota[0][:, None] < slot_iota[0][None, :])
-        ).any(axis=1)
-        from_tk = (ks < K) & eq[:, :CK0, :].any(axis=1)
+        # dedup without the (T, CKm, CKm) eq-broadcast: the TK block comes
+        # from lax.top_k, whose indices are DISTINCT by construction
+        # (invalid entries are the sentinel K, which never equals a live
+        # value), so only the CN base slots can duplicate — against the
+        # TK block or an earlier base slot
+        live0 = cand_k0 < K                              # (T, CK0)
+        dup_tk = (base_k[:, :, None] == cand_k0[:, None, :]).any(-1)
+        sl_b = jnp.arange(CN)
+        dup_b = (
+            (base_k[:, :, None] == base_k[:, None, :])
+            & (sl_b[None, :, None] < sl_b[None, None, :])
+        ).any(1)                                         # earlier equal slot
+        live_b = (base_k < K) & ~dup_tk & ~dup_b
+        live = jnp.concatenate([live0, live_b], axis=1)
+        # from_tk only matters for LIVE slots (allowed requires live):
+        # live TK slots are from_tk by definition; live base slots are
+        # not in the TK block (they'd be dup_tk-dead otherwise)
+        from_tk = jnp.concatenate(
+            [live0, jnp.zeros_like(live_b)], axis=1)
     else:
         slot_tab = jnp.full((T, K + 1), CKm, jnp.int32)
         slot_tab = slot_tab.at[t_iota, ks].min(
@@ -377,6 +416,10 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
             | ((ks[:, None, :] == kN[:, :, None]) & (cand_n >= 1)[:, :, None])
         )
     )
+    if lite:
+        # the kernel pack layout wants int8; write it once here instead of
+        # materializing a bool tensor and casting in build_kernel_packs
+        allowed = allowed.astype(jnp.int8)
 
     ks_safe = jnp.clip(ks, 0, K - 1)
     means = jnp.asarray(means, dtype)
@@ -403,10 +446,36 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     # per-(t, slot-pair) int8 lookups built once per bucket
     kNc, kN2c = kN[:, :, None], kN2[:, :, None]
     ksc = ks_safe[:, None, :]
-    hd1 = hd_count(kNc, ksc, kmer_size)
-    hd2 = hd_count(kN2c, ksc, kmer_size)
-    hd1s = hd_count(kNc // alphabet_size, ksc, kmer_size - 1)
-    hd2s = hd_count(kN2c // alphabet_size, ksc, kmer_size - 1)
+    if lite:
+        # fused digit loop producing the PACKED int16 nibble layout the
+        # Mosaic kernels consume (hd1|hd2<<4|hd1s<<8|hd2s<<12) directly:
+        # one (T, CN, CK) int16 write instead of four int8 tensors + an
+        # int32 repack in build_kernel_packs
+        x1, x2, y = kNc, kN2c, ksc
+        x1s, x2s = kNc // alphabet_size, kN2c // alphabet_size
+        shape = jnp.broadcast_shapes(kNc.shape, ksc.shape)
+        acc = jnp.zeros(shape, jnp.int32)
+        i32 = lambda c: c.astype(jnp.int32)
+        for i in range(kmer_size):
+            dy = y % alphabet_size
+            acc = acc + i32(x1 % alphabet_size != dy)
+            acc = acc + (i32(x2 % alphabet_size != dy) << 4)
+            if i < kmer_size - 1:
+                acc = acc + (i32(x1s % alphabet_size != dy) << 8)
+                acc = acc + (i32(x2s % alphabet_size != dy) << 12)
+                x1s = x1s // alphabet_size
+                x2s = x2s // alphabet_size
+            x1 = x1 // alphabet_size
+            x2 = x2 // alphabet_size
+            y = y // alphabet_size
+        hd1 = acc.astype(jnp.int16)            # packed; hd2.. are dummies
+        z8 = jnp.zeros((T, 1), jnp.int8)
+        hd2 = hd1s = hd2s = z8
+    else:
+        hd1 = hd_count(kNc, ksc, kmer_size)
+        hd2 = hd_count(kN2c, ksc, kmer_size)
+        hd1s = hd_count(kNc // alphabet_size, ksc, kmer_size - 1)
+        hd2s = hd_count(kN2c // alphabet_size, ksc, kmer_size - 1)
     d01 = (kN % alphabet_size).astype(jnp.int8)
     d02 = (kN2 % alphabet_size).astype(jnp.int8)
 
@@ -706,7 +775,7 @@ def _init_column(plan: NTCPlan, dims: PlanDims, dtype):
     R, CN, CK, _ = dims
     init = jnp.full((R, 5, CN, CK), NEG_INF, dtype)
     cn0 = plan.cand_n[0].reshape(R, CN)
-    allowed0 = plan.allowed[0].reshape(R, CN, CK)
+    allowed0 = plan.allowed[0].reshape(R, CN, CK).astype(bool)
     row0 = (cn0 == 0)[:, :, None] & allowed0
     return init.at[:, E_ST].set(jnp.where(row0, 0.0, NEG_INF))
 
@@ -721,7 +790,7 @@ def _final_row_masks(plan: NTCPlan, dims: PlanDims, N_r, T_r):
         return jnp.take_along_axis(a, idx, axis=0)[0]
 
     cand_last = tak(plan.cand_n, CN).reshape(R, CN)
-    allowed_last = tak(plan.allowed, CN * CK).reshape(R, CN, CK)
+    allowed_last = tak(plan.allowed, CN * CK).reshape(R, CN, CK).astype(bool)
     live_last = tak(plan.live, CK).reshape(R, CK)
     mask = (
         (cand_last == (N_r - 1)[:, None])[:, :, None]
@@ -1028,7 +1097,7 @@ def ntc_zb_batch(plan: NTCPlan, dims: PlanDims, bwd0):
     R, CN, CK, _ = dims
     row0 = (
         (plan.cand_n[0].reshape(R, CN) == 0)[:, :, None]
-        & plan.allowed[0].reshape(R, CN, CK)
+        & plan.allowed[0].reshape(R, CN, CK).astype(bool)
         & plan.live[0].reshape(R, CK)[:, None, :]
     )
     bwd0 = bwd0.reshape(R, 5, CN, CK)

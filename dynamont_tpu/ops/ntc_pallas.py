@@ -297,11 +297,15 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int, tables=None,
     ksTn = jnp.concatenate([ksT[1:], no_col], axis=0)
 
     alw = plan.allowed.reshape(T_pad, RC, CK).astype(jnp.int8)
-    hd = (plan.hd1.astype(jnp.int32)
-          | (plan.hd2.astype(jnp.int32) << 4)
-          | (plan.hd1s.astype(jnp.int32) << 8)
-          | (plan.hd2s.astype(jnp.int32) << 12)
-          ).astype(jnp.int16).reshape(T_pad, RC, CK)
+    if plan.hd1.dtype == jnp.int16:
+        # lite plan: hd1 already carries the packed int16 nibble layout
+        hd = plan.hd1.reshape(T_pad, RC, CK)
+    else:
+        hd = (plan.hd1.astype(jnp.int32)
+              | (plan.hd2.astype(jnp.int32) << 4)
+              | (plan.hd1s.astype(jnp.int32) << 8)
+              | (plan.hd2s.astype(jnp.int32) << 12)
+              ).astype(jnp.int16).reshape(T_pad, RC, CK)
     return NTCPacks(nrow, kcol, suc, ksT, ksTp, ksTn, alw, hd, T_pad, K)
 
 

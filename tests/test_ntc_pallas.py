@@ -233,13 +233,29 @@ def test_lite_plan_matches_full_plan(setup):
     # by test_table_gather_packs_match) — lite plans carry 1-wide dummies
     dropped = {"col_same", "col_prec", "bcol_same", "bcol_suc",
                "mu_k", "c1_k", "c2_k", "mu_suc", "c1_suc", "c2_suc",
-               "suc_vals"}
+               "suc_vals", "hd1", "hd2", "hd1s", "hd2s", "allowed",
+               "from_tk"}
     for name in full._fields:
         if name in dropped:
             continue
         np.testing.assert_array_equal(
             np.asarray(getattr(lite, name)),
             np.asarray(getattr(full, name)), err_msg=name)
+    # from_tk is only consumed via `allowed` (live-gated): the lite build
+    # skips membership tests for dead duplicate slots, so compare on live
+    live = np.asarray(full.live)
+    np.testing.assert_array_equal(
+        np.asarray(lite.from_tk) & live, np.asarray(full.from_tk) & live)
+    # lite hd1 carries the packed nibble layout; allowed is int8
+    packed = (np.asarray(full.hd1).astype(np.int32)
+              | (np.asarray(full.hd2).astype(np.int32) << 4)
+              | (np.asarray(full.hd1s).astype(np.int32) << 8)
+              | (np.asarray(full.hd2s).astype(np.int32) << 12)
+              ).astype(np.int16)
+    np.testing.assert_array_equal(np.asarray(lite.hd1), packed)
+    assert np.asarray(lite.allowed).dtype == np.int8
+    np.testing.assert_array_equal(
+        np.asarray(lite.allowed).astype(bool), np.asarray(full.allowed))
 
 
 @pytest.mark.slow
