@@ -320,6 +320,7 @@ class NTCBatchEngine:
                            # T=16k; CK = cap_k + cap_n tile-pads to 128
                            # lanes regardless, so 112 + 8 = 120 is free
         fallback: bool = True,
+        wide_retry: bool = True,  # fp32 doubled-cap rung before exact fp64
         pallas: bool | None = None,  # None = auto (TPU + fp32)
         pallas_interpret: bool = False,  # CI: run kernels in interpret mode
         devices: list | None = None,  # round-robin targets (None = all local)
@@ -367,6 +368,7 @@ class NTCBatchEngine:
         self.cap_n = cap_n
         self.cap_k = cap_k
         self.fallback = fallback
+        self.wide_retry = wide_retry
         # buckets round-robin across every local chip in one process (the
         # read axis is embarrassingly parallel, like the reference's
         # mp.Pool over reads, ref: segment.py:292-317)
@@ -423,13 +425,20 @@ class NTCBatchEngine:
         for bucket in pending:
             retry += self._collect(bucket, items, outputs)
         t2 = time.perf_counter()
-        for i in retry:
+        # escalation ladder for cap-overflow reads: (1) one fp32 scan-path
+        # bucket at doubled caps (shared across all overflowing reads —
+        # far cheaper than the per-read fp64 path), (2) exact fp64
+        exact = (self._run_wide(retry, items, outputs)
+                 if retry and self.fallback and self.wide_retry else retry)
+        for i in exact:
             outputs[i] = self._run_exact(items[i])
         self.profile["buckets"] += len(pending)
         self.profile["reads"] += len(valid)
         self.profile["dispatch_s"] += t1 - t0
         self.profile["collect_s"] += t2 - t1
-        self.profile["exact_retries"] += len(retry)
+        self.profile["wide_retries"] = (
+            self.profile.get("wide_retries", 0) + len(retry))
+        self.profile["exact_retries"] += len(exact)
         self.profile["exact_s"] += time.perf_counter() - t2
         return outputs  # type: ignore[return-value]
 
@@ -635,6 +644,53 @@ class NTCBatchEngine:
             return (res.trained_transitions, res.trained_emissions, res.Z)
         except Exception as e:
             return e
+
+    def _run_wide(self, idxs: list[int], items, outputs) -> list[int]:
+        """fp32 wide-cap retry rung: overflowing reads re-run as ONE
+        scan-path bucket at doubled caps (cap_n 16, cap_k 256) before any
+        falls to the per-read fp64 CAP_LADDER cliff. Returns the reads
+        that still overflow / fail their Z gates."""
+        wide_n = max(16, 2 * self.cap_n)
+        wide_k = max(256, 2 * self.cap_k)
+        still: list[int] = []
+        for gidx in self._buckets(idxs, items):
+            R = len(gidx)
+            T_arr = np.array(
+                [len(items[i].signal) + 1 for i in gidx], np.int32)
+            kmer_ids = [
+                np.asarray(seq_to_kmer_ids(
+                    items[i].read, self.model.kmer_size,
+                    self.model.alphabet_size), np.int32)
+                for i in gidx
+            ]
+            N_arr = np.array([len(k) + 1 for k in kmer_ids], np.int32)
+            T_pad = round_up(int(T_arr.max()), self.t_pad_to)
+            N2 = round_up(int(N_arr.max()), self.n_pad_to)
+            sig = np.zeros((R, T_pad - 1), np.float32)
+            kid = np.zeros((R, N2 - 1), np.int32)
+            for j, i in enumerate(gidx):
+                sig[j, : T_arr[j] - 1] = items[i].signal
+                kid[j, : N_arr[j] - 1] = kmer_ids[j]
+            S_max = round_up(N2 + N2 // 4 + 64, 128)
+            dev = self._next_device()
+            res = self._fn(
+                jax.device_put(sig, dev), jax.device_put(kid, dev),
+                jax.device_put(T_arr, dev), jax.device_put(N_arr, dev),
+                CN=wide_n, CK0=wide_k, S_max=S_max,
+                use_pallas=False, interpret=False, device=dev,
+            )
+            saved_n, saved_k = self.cap_n, self.cap_k
+            try:
+                # _collect's Z-gate cell count must reflect the wide caps
+                self.cap_n, self.cap_k = wide_n, wide_k
+                still += self._collect((gidx, T_arr, N_arr, res), items,
+                                       outputs)
+            finally:
+                self.cap_n, self.cap_k = saved_n, saved_k
+        if still:
+            print(f"ntc wide-cap rung: {len(still)}/{len(idxs)} reads "
+                  "still overflow; falling to exact fp64", file=sys.stderr)
+        return still
 
     def _run_exact(self, it: BatchItem) -> BatchOutput:
         """Exact per-read fp64 fallback for cap-overflow reads."""

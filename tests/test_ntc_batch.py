@@ -44,6 +44,46 @@ def _engine(model, dtype, **kw):
     return NTCBatchEngine(model, "rna002", dtype=dtype, **kw)
 
 
+def test_topk_maxmask_matches_lax_topk():
+    """Iterative max-extraction == lax.top_k through the select_topk
+    contract (ties, exhausted columns, dead columns)."""
+    import jax
+
+    from dynamont_tpu.ops.ntc_batch import _topk_maxmask, select_topk
+
+    rng = np.random.default_rng(0)
+    U = rng.normal(size=(64, 256))
+    U[1, 5:] = -np.inf                      # exhausted column
+    U[2, 10] = U[2, 20] = U[2, 30] = 3.0    # ties -> lower index first
+    U = jnp.asarray(U)
+    v1, i1 = _topk_maxmask(U, 8)
+    v2, i2 = jax.lax.top_k(U, 8)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    fin = np.isfinite(np.asarray(v2))   # -inf tail indices are unreachable
+    np.testing.assert_array_equal(np.asarray(i1)[fin], np.asarray(i2)[fin])
+    # full select_topk contract vs a top_k-forced oracle of the same math
+    import math
+
+    from dynamont_tpu.ops.ntc_pre import SPARSE_THRESHOLD
+
+    live = jnp.ones((64,), bool)
+    c1, n1, o1 = select_topk(U, 8, True, live, 256)
+    vals, idx = jax.lax.top_k(U, 8)
+    m = vals[:, :1]
+    ms = jnp.where(jnp.isfinite(m), m, 0.0)
+    tot = jnp.sum(jnp.exp(U - ms), axis=1, keepdims=True)
+    run = jnp.cumsum(jnp.exp(vals - ms), axis=1)
+    crossed = (run >= math.exp(SPARSE_THRESHOLD) * tot) & jnp.isfinite(m)
+    prev = jnp.concatenate(
+        [jnp.zeros_like(crossed[:, :1]), crossed[:, :-1]], axis=1)
+    inc = ~prev & live[:, None]
+    np.testing.assert_array_equal(
+        np.asarray(c1), np.asarray(jnp.where(inc, idx, 256)))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(inc.sum(1)))
+    np.testing.assert_array_equal(
+        np.asarray(o1), np.asarray(live & ~crossed[:, -1]))
+
+
 @pytest.mark.slow
 def test_batched_fp64_matches_per_read(model, reads, exact):
     eng = _engine(model, jnp.float64)
@@ -99,10 +139,26 @@ def _assert_segments_close(got, want, tol=1e-6):
 
 @pytest.mark.slow
 def test_overflow_falls_back_to_exact(model, reads, exact):
-    """Tiny caps force candidate overflow -> per-read fp64 fallback."""
-    eng = _engine(model, jnp.float64, cap_n=2, cap_k=2)
+    """Tiny caps force candidate overflow -> per-read fp64 fallback
+    (wide rung disabled so the exact path is what actually runs)."""
+    eng = _engine(model, jnp.float64, cap_n=2, cap_k=2, wide_retry=False)
     sig, read = reads[0]
     outs = eng.run([BatchItem(sig, read)])
     assert outs[0].error is None
+    assert eng.profile["exact_retries"] == 1
     # the fallback IS the per-read path -> exact equality
     assert outs[0].segments == exact[0].segments
+
+
+@pytest.mark.slow
+def test_overflow_wide_cap_rung(model, reads, exact):
+    """Tiny caps overflow -> the doubled-cap scan-path rung repairs the
+    read in one shared bucket, never reaching the per-read fp64 cliff."""
+    eng = _engine(model, jnp.float64, cap_n=2, cap_k=2)
+    outs = eng.run([BatchItem(sig, read) for sig, read in reads])
+    assert eng.profile["wide_retries"] == len(reads)
+    assert eng.profile["exact_retries"] == 0
+    for out, res in zip(outs, exact):
+        assert out.error is None, out.error
+        assert abs(out.Z - res.Z) < 1e-6 * max(1.0, abs(res.Z))
+        _assert_segments_close(out.segments, res.segments)
