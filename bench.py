@@ -96,6 +96,28 @@ def bench_banded(model, items, metrics):
             n_ok = sum(1 for o in outs if o.error is None)
     dt_med = sorted(times)[len(times) // 2]
     reads_per_s = n_ok / dt
+
+    # device-time attribution: replay each bucket's device program with
+    # its inputs already resident (the wire was device_put at dispatch),
+    # draining per launch — no H2D in the loop, so this isolates device
+    # compute + the small summary D2H from the tunnel-dominated wall time
+    buckets = [
+        eng._dispatch_bucket([items[i] for i in g], g)
+        for g in eng._buckets(items)
+    ]
+    for b in buckets:
+        _force(b[3].Zf)  # drain warm-up round
+    t0 = time.perf_counter()
+    for _, _, wire, _ in buckets:
+        # match the dispatch call's committed device: device=None builds
+        # UNcommitted table arrays, a different jit cache entry (a fresh
+        # ~35 s compile) — not the program the engine actually runs
+        dev = next(iter(wire.dacs.devices()))
+        res = eng._dev_run(wire, device=dev)
+        _force(res.Zf)
+        _force(res.starts)
+    device_s = time.perf_counter() - t0
+    util = device_s / dt
     total_samples = sum(len(it.signal) for it in items)
     # DP cells: T x B band cells per wavefront pass; fwd + bwd + fused
     # posterior/Viterbi = 3 passes (the walk revisits 1 cell/row)
@@ -125,6 +147,88 @@ def bench_banded(model, items, metrics):
         "value": round(n_ok / dt_med, 3),
         "unit": "reads/s",
         "vs_baseline": round(n_ok / dt_med / REF_BANDED_READS_PER_S, 1),
+    })
+    print(
+        f"banded device time: {device_s:.3f}s of {dt:.3f}s wall "
+        f"({100 * util:.0f}% utilization, "
+        f"{cells / device_s / 1e9:.1f}G device cells/s)", file=sys.stderr,
+    )
+    metrics.append({
+        "metric": "banded_device_cells_per_s",
+        "value": round(cells / device_s / 1e9, 2),
+        "unit": "Gcells/s",
+        "vs_baseline": round(
+            (cells / device_s)
+            / (REF_BANDED_READS_PER_S * 3 * T_TRIM * BAND_B), 1),
+    })
+    metrics.append({
+        "metric": "banded_device_utilization",
+        "value": round(100 * util, 1),
+        "unit": "%",
+        "vs_baseline": round(util, 3),
+    })
+
+    # single-process multi-device scaling: reads/s at each device count
+    # (one point on a 1-chip host; the full curve on multi-chip hosts)
+    devs = jax.local_devices()
+    if len(devs) > 1:
+        rates = []
+        for nd in range(1, len(devs) + 1):
+            e = make_engine()
+            e.devices = devs[:nd]
+            e.run(items[:16])  # warm any new devices
+            t0 = time.perf_counter()
+            outs = e.run(items)
+            d = time.perf_counter() - t0
+            rates.append(sum(1 for o in outs if o.error is None) / d)
+        print("banded scaling reads/s vs n_devices: "
+              + ", ".join(f"{i + 1}:{r:.1f}" for i, r in enumerate(rates)),
+              file=sys.stderr)
+        metrics.append({
+            "metric": "banded_multidevice_throughput",
+            "value": round(rates[-1], 3),
+            "unit": f"reads/s@{len(devs)}dev",
+            "vs_baseline": round(rates[-1] / REF_BANDED_READS_PER_S, 1),
+        })
+
+
+def bench_banded_ragged(model, metrics):
+    """Mixed-length pool (8k-32k samples, ragged base counts): exercises
+    the bucketing/padding logic under timing, incl. a tail bucket.
+    vs_baseline is in SAMPLES/s against the reference single-core rate
+    (0.75 reads/s x 16k samples) since reference cost scales with T."""
+    import jax.numpy as jnp
+
+    from dynamont_tpu.models.batch import BandedBatchEngine, BatchItem
+    from dynamont_tpu.utils.synthetic import make_read
+
+    lengths = [8000, 12000, 16000, 24000, 32000]
+    items = []
+    for s in range(36):  # 36 reads -> uneven buckets incl. a tail
+        L = lengths[s % len(lengths)]
+        nb = max(200, int(N_BASES * L / 16000))
+        sig, read = make_read(model, n_bases=nb, mean_dwell=MEAN_DWELL,
+                              seed=1000 + s)
+        items.append(BatchItem(sig[:L], read))
+    eng = BandedBatchEngine(
+        model, "rna002", dtype=jnp.float32, batch_size=16,
+        max_batch_samples=2**22, t_pad_to=2048,
+    )
+    eng.run(items)  # warm every bucket shape
+    t0 = time.perf_counter()
+    outs = eng.run(items)
+    dt = time.perf_counter() - t0
+    n_ok = sum(1 for o in outs if o.error is None)
+    total = sum(len(it.signal) for it in items)
+    print(f"banded ragged: {n_ok}/{len(outs)} reads, {len(list(eng._buckets(items)))} "
+          f"buckets in {dt:.2f}s ({total / dt / 1e6:.1f}M samples/s)",
+          file=sys.stderr)
+    metrics.append({
+        "metric": "banded_ragged_samples_per_s",
+        "value": round(total / dt / 1e6, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(
+            (total / dt) / (REF_BANDED_READS_PER_S * 16000), 1),
     })
 
 
@@ -197,6 +301,68 @@ def bench_ntc(model, items, metrics):
         })
     except Exception as e:
         print(f"ntc train bench failed: {e}", file=sys.stderr)
+
+
+def bench_ntc_noisy(model, metrics):
+    """Overflow behavior on NOISY reads (the clean pool never overflows):
+    scaled Gaussian noise, outlier spikes, and wrong bases widen the 95%-
+    mass candidate sets (ref: NTC.hpp:29). Measures the overflow rate and
+    the cost of the fp32 wide-cap retry rung that repairs those reads
+    before the per-read fp64 cliff."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynamont_tpu.models.batch import BatchItem
+    from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+    from dynamont_tpu.utils.synthetic import make_read
+
+    rng = np.random.default_rng(7)
+    items = []
+    for s in range(32):
+        sig, read = make_read(model, n_bases=N_BASES, mean_dwell=MEAN_DWELL,
+                              seed=500 + s, noise_scale=1.6)
+        sig = sig[:T_TRIM].copy()
+        # outlier spikes (~0.5% of samples) + a few wrong bases
+        n_spk = len(sig) // 200
+        sig[rng.integers(0, len(sig), n_spk)] += rng.normal(
+            0, 12.0, n_spk)
+        read = list(read)
+        for p in rng.integers(9, len(read), 6):
+            read[p] = "ACGT"[rng.integers(0, 4)]
+        items.append(BatchItem(sig, "".join(read)))
+    eng = NTCBatchEngine(
+        model, "rna002", dtype=jnp.float32, batch_size=16,
+        max_batch_samples=2**22,
+    )
+    eng.run(items[:16])  # warm (incl. possibly the wide-rung shape)
+    t0 = time.perf_counter()
+    outs = eng.run(items)
+    dt = time.perf_counter() - t0
+    n_ok = sum(1 for o in outs if o.error is None)
+    n_wide = eng.profile.get("wide_retries", 0)
+    n_exact = eng.profile["exact_retries"]
+    ovf_rate = n_wide / max(1, eng.profile["reads"])
+    print(
+        f"ntc noisy: {n_ok}/{len(outs)} ok, {n_wide} cap-overflow "
+        f"({100 * ovf_rate:.0f}%), {n_exact} reached fp64, "
+        f"{dt:.2f}s total", file=sys.stderr,
+    )
+    metrics.append({
+        "metric": "ntc_noisy_overflow_rate",
+        "value": round(100 * ovf_rate, 1),
+        "unit": "%",
+        "vs_baseline": round(ovf_rate, 3),
+    })
+    if n_wide:
+        # wide-rung cost per overflowing read (the whole point: < 1 s,
+        # vs ~40 s/read on the old per-read fp64 cliff)
+        wide_s = eng.profile["exact_s"]
+        metrics.append({
+            "metric": "ntc_overflow_retry_cost",
+            "value": round(wide_s / n_wide, 3),
+            "unit": "s/read",
+            "vs_baseline": round((wide_s / n_wide) / 40.0, 3),
+        })
 
 
 def bench_train(model, items, metrics):
@@ -275,9 +441,17 @@ def main() -> None:
     bench_banded(model, items, metrics)
     if os.environ.get("DYNAMONT_BENCH_FAST") != "1":
         try:
+            bench_banded_ragged(model, metrics)
+        except Exception as e:
+            print(f"ragged bench failed: {e}", file=sys.stderr)
+        try:
             bench_ntc(model, items, metrics)
         except Exception as e:  # keep the headline metric alive
             print(f"ntc bench failed: {e}", file=sys.stderr)
+        try:
+            bench_ntc_noisy(model, metrics)
+        except Exception as e:
+            print(f"ntc noisy bench failed: {e}", file=sys.stderr)
         try:
             bench_train(model, items, metrics)
         except Exception as e:
