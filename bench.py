@@ -334,7 +334,13 @@ def bench_ntc_noisy(model, metrics):
         model, "rna002", dtype=jnp.float32, batch_size=16,
         max_batch_samples=2**22,
     )
-    eng.run(items[:16])  # warm (incl. possibly the wide-rung shape)
+    eng.run(items[:16])  # warm the main bucket shape
+    # warm the wide-cap rung program too (run one read through it
+    # directly): its first compile is ~1-2 min, which is not the
+    # per-read repair cost this metric reports
+    eng._run_wide([0], items, [None] * len(items))
+    eng.profile["exact_s"] = 0.0
+    eng.profile["reads"] = 0
     t0 = time.perf_counter()
     outs = eng.run(items)
     dt = time.perf_counter() - t0

@@ -144,6 +144,18 @@ class BandedBatchEngine:
             for group in self._buckets([items[i] for i in valid]):
                 gidx = [valid[g] for g in group]
                 pending.append(self._dispatch_bucket([items[i] for i in gidx], gidx))
+            # pre-issue EVERY bucket's D2H as one async wave: each
+            # synchronous np.asarray in collect costs a full tunnel/PCIe
+            # round-trip (~50 ms on the axon link — 0.8 s of an 0.9 s run
+            # at 4 buckets x 4 arrays), while async copies overlap each
+            # other and the remaining device compute
+            for bucket in pending:
+                res = bucket[3]
+                for arr in (res.Zf, res.Zb, res.starts, res.medians):
+                    try:
+                        arr.copy_to_host_async()
+                    except AttributeError:
+                        break
             t1 = time.perf_counter()
             for bucket in pending:
                 self._collect_bucket(bucket, outputs)

@@ -420,6 +420,15 @@ class NTCBatchEngine:
         pending = [
             self._dispatch(gidx, items) for gidx in self._buckets(valid, items)
         ]
+        # one async D2H wave over every bucket's result arrays: collect's
+        # synchronous np.asarray calls each cost a tunnel/PCIe round-trip
+        # (see models/batch.py run()); async copies overlap compute
+        for bucket in pending:
+            for arr in bucket[3].values():
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    break
         t1 = time.perf_counter()
         retry: list[int] = []
         for bucket in pending:
@@ -679,6 +688,11 @@ class NTCBatchEngine:
                 CN=wide_n, CK0=wide_k, S_max=S_max,
                 use_pallas=False, interpret=False, device=dev,
             )
+            for arr in res.values():
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    break
             saved_n, saved_k = self.cap_n, self.cap_k
             try:
                 # _collect's Z-gate cell count must reflect the wide caps
