@@ -43,6 +43,11 @@ def build_parser() -> ArgumentParser:
                    help="continue an interrupted run: reads already in the "
                         "output CSV are skipped, new results are appended "
                         "(errored reads are retried)")
+    p.add_argument("--ntc-native-9mer", action="store_true",
+                   help="resquiggle mode with a >5-mer model: run NTC at "
+                   "native K (true 9-mer polish calls, ref: "
+                   "NTC_main.cpp:95-99) instead of the reduced 5-mer "
+                   "tables; memory-heavy, reads are bucketed singly")
     p.add_argument("--profile", action="store_true",
                    help="print engine wall-clock accounting (dispatch vs "
                         "device-wait per bucket) to stderr at the end")
@@ -186,6 +191,7 @@ def _run_resquiggle(args, model, jobs, writer, rna):
 
     eng = NTCBatchEngine(
         model, args.pore, dtype=jnp.float32, batch_size=args.batch_size,
+        native_kmer=args.ntc_native_9mer,
     )
     chunk: list = []
     CHUNK = args.batch_size * 4

@@ -63,6 +63,7 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
     )
     def run(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a, CN, CK0, S_max,
             use_pallas=False, interpret=False):
+        bigk = False
         if use_pallas:
             from dynamont_tpu.ops import ntc_pre_pallas as npp
 
@@ -78,12 +79,27 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             pn = nb.pre_tn_batch(
                 sig, kmer_ids, N_r, T_r, mu, sd, log_ppm, log_ppe, CN, dtype
             )
-            pk = nb.pre_tk_batch(
-                sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0, dtype
-            )
+            # big-K (native 9-mer): the dense (T, R*K) backward store and
+            # the (T, K+1) plan scatter tables exceed HBM at production
+            # read lengths; switch to the checkpoint-recompute pre-pass
+            # and the eq-broadcast plan when a read's TK store would top
+            # ~1 GB. Both are bit-equal to the dense forms.
+            R_b, Tm1 = sig.shape
+            bigk = (Tm1 + 1) * K * jnp.dtype(dtype).itemsize > 2**30
+            if bigk and (Tm1 + 1) % 128 == 0:
+                pk = nb.pre_tk_batch_ckpt(
+                    sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0,
+                    dtype,
+                )
+            else:
+                bigk = False
+                pk = nb.pre_tk_batch(
+                    sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0, dtype
+                )
         plan, dims = nb.build_plan_batch(
             pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
             mu, c1a, c2a, A, S, dtype, lite=use_pallas,
+            bigk=not use_pallas and bigk,
         )
         sigd = sig.astype(dtype)
         if use_pallas:
@@ -324,8 +340,26 @@ class NTCBatchEngine:
         pallas: bool | None = None,  # None = auto (TPU + fp32)
         pallas_interpret: bool = False,  # CI: run kernels in interpret mode
         devices: list | None = None,  # round-robin targets (None = all local)
+        native_kmer: bool = False,  # >5-mer models: run NTC at native K
     ):
-        if model.kmer_size > 5:
+        if model.kmer_size > 5 and native_kmer:
+            # native big-K mode (ref: NTC_main.cpp:95-99 runs K=4^9
+            # directly): the scan path is K-generic; above ~1 GB of TK
+            # lattice per read it switches to the checkpoint-recompute
+            # pre-pass + eq-broadcast plan (ops/ntc_batch
+            # pre_tk_batch_ckpt, _build_plan_one bigk — both bit-equal
+            # to the dense forms), which carries a production-length
+            # T=16k read at K=4^9 in ~2 GB. Buckets run one read at a
+            # time. Polish calls come out as true 9-mers. The Mosaic
+            # kernel geometry is 5-mer-only.
+            if pallas:
+                raise ValueError("native >5-mer NTC requires the scan path"
+                                 " (pallas=False)")
+            pallas = False
+            if batch_size == 16:  # default -> big-K-safe bucket geometry
+                batch_size = 1
+            max_batch_samples = min(max_batch_samples, 20480)
+        elif model.kmer_size > 5:
             # documented 9-mer fallback: NTC runs on the reduced 5-mer
             # tables (utils.pore_model.reduce_model_to_5mer; the dense TK
             # pre-pass is impractical at K=4^9 for production reads)
@@ -333,7 +367,8 @@ class NTCBatchEngine:
 
             print(
                 f"NTC: reducing {model.kmer_size}-mer model to 5-mer "
-                "(ref: models/9merTo5mer.py)", file=sys.stderr,
+                "(ref: models/9merTo5mer.py; --ntc-native-9mer for native "
+                "K)", file=sys.stderr,
             )
             model = reduce_model_to_5mer(model)
         self.model = model
@@ -573,12 +608,18 @@ class NTCBatchEngine:
         ]
 
     def _renormalize_medians(self, host, j, segs):
-        """The device scans normalize posteriors by Zb (saves a whole
-        forward pass); the reference normalizes by the forward Z
-        (NTC_main.cpp:186). The normalizer is a uniform log-shift, so the
-        median SELECTION is identical and the median VALUE rescales by
-        exp(Zb - Zf) — exact, because the grouped median is monotone in
-        the probabilities (tie-averaging commutes with scaling)."""
+        """fp32 paths normalize posteriors by each column's OWN logsumexp
+        (ops/ntc_batch.ntc_posterior_viterbi_batch /
+        ops/ntc_pallas._pv_kernel) — equal to the reference's global Z
+        (NTC_main.cpp:186) by the forward-backward identity and immune
+        to the fp32 Z drift a global normalizer accumulates over 16k
+        steps — so no host-side correction applies. The fp64 scan path
+        keeps the reference's exact global normalizer, using Zb (saves a
+        forward pass); rescale its medians to the reference's Zf: a
+        uniform log-shift, exact because the grouped median is monotone
+        in the probabilities."""
+        if jnp.dtype(self.dtype) != jnp.float64:
+            return segs
         diff = float(host["Zb"][j]) - float(host["Zf"][j])
         if diff == 0.0:
             return segs

@@ -330,13 +330,111 @@ def pre_tk_batch(sig, T_r, means, c1, c2, log_m1, log_e2,
     return PreBatchResult(cand, cnt, Zf, Zb, ovf.any(axis=0))
 
 
+def pre_tk_batch_ckpt(sig, T_r, means, c1, c2, log_m1, log_e2,
+                      alphabet_size: int, cap: int, dtype,
+                      chunk: int = 128):
+    """pre_tk_batch with O(T/chunk * R * K) memory instead of O(T * R * K):
+    the backward pass stores only per-chunk CHECKPOINT states; the fused
+    forward/selection pass re-derives each chunk's backward columns from
+    its checkpoint (identical op order -> bit-equal to pre_tk_batch) at
+    ~1.5x the compute. This is what makes NATIVE 9-mer NTC (K = 4^9,
+    ref: NTC_main.cpp:95-99) possible at production read lengths: the
+    dense (T, R*K) backward store is ~17 GB per read at T=16k fp32,
+    while checkpoints at chunk=128 are ~260 MB (the reference holds four
+    T*K double matrices in RAM, NTC.cpp:145-217 — 70 GB at this size)."""
+    R, Tm1 = sig.shape
+    T_pad = Tm1 + 1
+    assert T_pad % chunk == 0, (T_pad, chunk)
+    nc = T_pad // chunk
+    sig = sig.astype(dtype)
+    muk = jnp.asarray(means, dtype)
+    c1k = jnp.asarray(c1, dtype)
+    c2k = jnp.asarray(c2, dtype)
+    K = muk.shape[0]
+    negK = jnp.full((R, K), NEG_INF, dtype)
+
+    def bstep(carry, xs):
+        M_next, E_next = carry
+        sig_t, t = xs
+        d = sig_t[:, None] - muk
+        sc = c1k - c2k * d * d
+        M_new = E_next + sc
+        E_new = jnp.logaddexp(
+            _suc_sum_b(M_next + sc + log_m1, alphabet_size),
+            E_next + sc + log_e2,
+        )
+        is_term = (t == T_r - 1)[:, None]
+        dead = (t > T_r - 1)[:, None]
+        M_out = jnp.where(is_term | dead, NEG_INF, M_new)
+        E_out = jnp.where(is_term, 0.0, jnp.where(dead, NEG_INF, E_new))
+        return (M_out, E_out), None
+
+    sig_b = jnp.concatenate([sig, jnp.zeros((R, 1), dtype)], axis=1)
+    ts = jnp.arange(T_pad, dtype=jnp.int32)
+    xsb = (sig_b.T.reshape(nc, chunk, R), ts.reshape(nc, chunk))
+
+    def bchunk(carry, xs):
+        new, _ = jax.lax.scan(bstep, carry, xs, reverse=True)
+        return new, carry  # checkpoint = state entering this chunk
+
+    (_, bE0), ckpts = jax.lax.scan(bchunk, (negK, negK), xsb, reverse=True)
+    Zb = logsumexp(bE0, axis=1)
+
+    M0 = negK
+    E0 = jnp.zeros((R, K), dtype)
+
+    def bstep_store(carry, xs):
+        new, _ = bstep(carry, xs)
+        return new, new
+
+    def fstep(carry, xs):
+        M_prev, E_prev, finalE = carry
+        sig_t, bM_t, bE_t, t = xs
+        d = sig_t[:, None] - muk
+        sc = c1k - c2k * d * d
+        M_new = _prec_sum_b(E_prev, alphabet_size) + sc + log_m1
+        E_new = jnp.logaddexp(M_prev + sc, E_prev + sc + log_e2)
+        first = t == 0
+        dead = (t > T_r - 1)[:, None]
+        M_out = jnp.where(first, M0, jnp.where(dead, NEG_INF, M_new))
+        E_out = jnp.where(first, E0, jnp.where(dead, NEG_INF, E_new))
+        finalE = jnp.where((t == T_r - 1)[:, None], E_out, finalE)
+        U = jnp.logaddexp(bM_t + M_out, bE_t + E_out)
+        cand, cnt, ovf = select_topk(
+            U, cap, ge_break=True, col_live=t <= T_r - 1, sentinel=K,
+        )
+        return (M_out, E_out, finalE), (cand, cnt, ovf)
+
+    finalE0 = jnp.where((T_r == 1)[:, None], E0, negK)
+    sig_f = jnp.concatenate([jnp.zeros((R, 1), dtype), sig], axis=1)
+    xsf_sig = sig_f.T.reshape(nc, chunk, R)
+
+    def fchunk(carry, xs):
+        xsb_c, xsf_c, ts_c, ck = xs
+        # re-derive this chunk's backward columns from the checkpoint
+        # (same ops as the checkpoint pass -> bit-equal values)
+        _, (bMc, bEc) = jax.lax.scan(bstep_store, ck, (xsb_c, ts_c),
+                                     reverse=True)
+        return jax.lax.scan(fstep, carry, (xsf_c, bMc, bEc, ts_c))
+
+    (_, _, finalE), (cand, cnt, ovf) = jax.lax.scan(
+        fchunk, (M0, E0, finalE0), (xsb[0], xsf_sig, xsb[1], ckpts)
+    )
+    Zf = logsumexp(finalE, axis=1)
+    T_ = T_pad
+    return PreBatchResult(
+        cand.reshape(T_, R, cap), cnt.reshape(T_, R), Zf, Zb,
+        ovf.reshape(T_, R).any(axis=0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # batched plan build (ref layout: ops/ntc_dp.build_plan)
 # ---------------------------------------------------------------------------
 
 def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
                     means, c1, c2, alphabet_size: int, kmer_size: int, dtype,
-                    lite: bool = False):
+                    lite: bool = False, bigk: bool = False):
     """Single-read plan with a *traced* read length N_read (the static
     N = N_max only bounds shapes/clipping); otherwise identical to
     ops/ntc_dp.build_plan. vmapped over reads by build_plan_batch.
@@ -369,7 +467,7 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     t_iota = jnp.arange(T)[:, None]
     slot_iota = jnp.arange(CKm, dtype=jnp.int32)[None]
     CK0 = cand_k0.shape[1]
-    if lite:
+    if lite or bigk:
         # dedup without the (T, CKm, CKm) eq-broadcast: the TK block comes
         # from lax.top_k, whose indices are DISTINCT by construction
         # (invalid entries are the sentinel K, which never equals a live
@@ -503,6 +601,32 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     if lite:
         dummy = jnp.zeros((T, 1), jnp.int32)
         col_same = col_prec = bcol_same = bcol_suc = dummy
+    elif bigk:
+        # big-K (native 9-mer): the (T, K+1) scatter tables below are
+        # ~17 GB per read at K=4^9, T=16k — build the k-maps as direct
+        # slot-level eq-broadcasts instead (O(T*CKm^2*A) ~ 1 GB, fine
+        # for the R=1 buckets big-K mode runs in). First matching slot
+        # == the scatter-min's first-slot-wins result.
+        prec_base = ks_safe // alphabet_size
+        prec_flat = (
+            prec_base[:, None, :] + (arange_a * step)[None, :, None]
+        ).reshape(T, -1)
+        src = jnp.where(ks < K, ks, -1)
+        none_col = jnp.full((1, CKm), -1, src.dtype)
+        prev_src = jnp.concatenate([none_col, src[:-1]], 0)
+        next_src = jnp.concatenate([src[1:], none_col], 0)
+
+        def kslot_eq(col_src, values):
+            val = jnp.where(values < K, values, -2)
+            eq = col_src[:, None, :] == val[:, :, None]
+            found = eq.any(-1)
+            return jnp.where(
+                found, jnp.argmax(eq, -1).astype(jnp.int32), -1)
+
+        col_same = kslot_eq(prev_src, ks)
+        col_prec = kslot_eq(prev_src, prec_flat)
+        bcol_same = kslot_eq(next_src, ks)
+        bcol_suc = kslot_eq(next_src, suc_flat)
     else:
         prec_base = ks_safe // alphabet_size
         prec_flat = (
@@ -564,7 +688,7 @@ class PlanDims(NamedTuple):
 
 def build_plan_batch(cand_n, cnt_n, cand_k0, cnt_k, kmer_ids, N_r,
                      means, c1, c2, alphabet_size: int, kmer_size: int,
-                     dtype, lite: bool = False):
+                     dtype, lite: bool = False, bigk: bool = False):
     """cand_n (T, R, CN), cnt_n (T, R), cand_k0 (T, R, CK0), cnt_k (T, R),
     kmer_ids (R, N_max-1), N_r (R,).
 
@@ -577,7 +701,7 @@ def build_plan_batch(cand_n, cnt_n, cand_k0, cnt_k, kmer_ids, N_r,
     fn = jax.vmap(
         lambda a, b, c, d, ks, n: _build_plan_one(
             a, b, c, d, ks, n, means, c1, c2, alphabet_size, kmer_size,
-            dtype, lite=lite,
+            dtype, lite=lite, bigk=bigk,
         ),
         in_axes=(1, 1, 1, 1, 0, 0), out_axes=1,
     )
@@ -971,14 +1095,16 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
                                 Z_norm, trans_log, N_r, T_r, kmer_size: int,
                                 dtype):
     """THE forward scan: compute fwd columns, emit posteriors
-    lp = fwd + bwd - Z_norm and the Viterbi max-DP choice bits in one pass
-    (ref getBorders: NTC.cpp:595-669; choices replace the reference's
-    equality-check walk, see ops/ntc_walk). Z_norm is Zb from the stored
-    backward pass — equal to Zf by the forward-backward identity (the
-    reference asserts |Zf-Zb| <= EPSILON*cells before using Z,
-    NTC_main.cpp:168-175), which lets this single scan replace a separate
-    forward-Z pass; the terminal forward E column is returned so the
-    caller can still compute Zf for that consistency check.
+    lp = fwd + bwd - lse_col(fwd + bwd) and the Viterbi max-DP choice bits
+    in one pass (ref getBorders: NTC.cpp:595-669; choices replace the
+    reference's equality-check walk, see ops/ntc_walk). The per-column
+    normalizer equals the reference's global Z (NTC_main.cpp:186) by the
+    forward-backward identity but is fp32-stable at T=16k (see the step
+    body). Z_norm (Zb from the stored backward pass) is kept in the
+    signature for the engine's Zf/Zb consistency gate plumbing; the
+    terminal forward E column is returned so the caller can still compute
+    Zf for that check (the reference asserts |Zf-Zb| <= EPSILON*cells,
+    NTC_main.cpp:168-175).
 
     Returns (lp (T, R, 5*CN*CK) flat, choices (T, R, CN*CK) flat packed
     int32, ap_final_E (R, CN, CK), fwd_final_E (R, CN, CK))."""
@@ -1002,7 +1128,29 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
 
         fwd_t = _fwd_column(fwd_prev, fxs, trans_log, dims, kmer_size, dtype)
         fwd_t = jnp.where(t == 0, init, fwd_t)
-        lp = fwd_t + bwd_t - Z_norm[:, None, None, None]
+        # two normalizers for fwd+bwd: the VITERBI accumulates the
+        # global-Z form (per-t constants cancel in its argmax — every
+        # path visits every t — and keeping this form keeps ap values
+        # comparable between the scan and kernel paths), while the
+        # STORED lp the walk reads for the reported probabilities is
+        # fp32-normalized by the COLUMN's own mass — equal to Z by the
+        # forward-backward identity (up to the tiny overcount of same-t
+        # I-chain revisits) but immune to the ~0.2-nat fp32 drift of Z
+        # over 16k scan steps, which otherwise shifts EVERY reported
+        # probability by the same exp(drift) factor. fp64 stores the
+        # global-Z form (exactly the reference's normalizer,
+        # NTC_main.cpp:186 — drift-free at f64 and bit-comparable).
+        ap = fwd_t + bwd_t
+        lp = ap - Z_norm[:, None, None, None]
+        if jnp.dtype(dtype) == jnp.float64:
+            lp_store = lp
+        else:
+            m = jnp.max(ap, axis=(1, 2, 3), keepdims=True)
+            m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+            colZ = m_safe + jnp.log(
+                jnp.sum(jnp.exp(ap - m_safe), axis=(1, 2, 3),
+                        keepdims=True))
+            lp_store = jnp.where(jnp.isfinite(m), ap - colZ, NEG_INF)
 
         # Viterbi max over posteriors + first-match choices
         ge_same = _gr(ap_prev, row_same)
@@ -1072,7 +1220,7 @@ def ntc_posterior_viterbi_batch(plan: NTCPlan, dims: PlanDims, sig, bwd,
         fwdE_final = jnp.where(is_term, fwd_t[:, E_ST], fwdE_final)
         return (
             (fwd_t, ap_out, apE_final, fwdE_final),
-            (lp.reshape(R, -1), packed.reshape(R, -1)),  # store flat
+            (lp_store.reshape(R, -1), packed.reshape(R, -1)),  # store flat
         )
 
     apE0 = jnp.full((R, CN, CK), NEG_INF, dtype)

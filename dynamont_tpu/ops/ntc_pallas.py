@@ -320,10 +320,40 @@ def _expand16():
     return ((m_io // CN) == r_io).astype(jnp.float32)
 
 
+def _b3_parts(x):
+    """Split fp32 into three bf16 components that sum back EXACTLY:
+    p1 = top 8 mantissa bits, p2/p3 the next 8+8 (the residual
+    subtractions are exact by Sterbenz; 8+8+8 >= fp32's 24)."""
+    p1 = x.astype(jnp.bfloat16)
+    r1 = x - p1.astype(jnp.float32)
+    p2 = r1.astype(jnp.bfloat16)
+    p3 = (r1 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return p1, p2, p3
+
+
+def _oh_dot(a, b, onehot_left: bool):
+    """Gather matmul against a 0/1 one-hot in THREE bf16 MXU passes
+    instead of Precision.HIGHEST's six (~2x): the one-hot side is
+    exactly bf16-representable, every output receives at most one source
+    term (the dedup invariants of _row_gather/_col_gather), so each
+    pass's single product is the exact bf16 component and the fp32 sum
+    of the three components reconstructs the fp32 source EXACTLY —
+    bit-identical to a HIGHEST gather. Inputs must be finite (values are
+    clamped to NEG_BIG before every gather)."""
+    if onehot_left:
+        oh = a.astype(jnp.bfloat16)
+        outs = [jnp.dot(oh, p, preferred_element_type=jnp.float32)
+                for p in _b3_parts(b)]
+    else:
+        oh = b.astype(jnp.bfloat16)
+        outs = [jnp.dot(p, oh, preferred_element_type=jnp.float32)
+                for p in _b3_parts(a)]
+    return (outs[0] + outs[1]) + outs[2]
+
+
 def _exp16(E, x16):
     """(16, W) per-read rows -> (128, W) replicated over the CN sublanes."""
-    return jnp.dot(E, x16, preferred_element_type=jnp.float32,
-                   precision=PREC)
+    return _oh_dot(E, x16, onehot_left=True)
 
 
 def _row_gather(idx_col, blocks):
@@ -335,7 +365,7 @@ def _row_gather(idx_col, blocks):
             * CN).astype(jnp.float32)
     oh = (n_io == base + idx_col).astype(jnp.float32)
     xc = jnp.concatenate([jnp.maximum(b, NEG_BIG) for b in blocks], axis=1)
-    g = jnp.dot(oh, xc, preferred_element_type=jnp.float32, precision=PREC)
+    g = _oh_dot(oh, xc, onehot_left=True)
     g = jnp.where(g <= NEG_THR, NEG_INF, g)
     g = jnp.where(idx_col >= 0.0, g, NEG_INF)
     return [g[:, k * CK:(k + 1) * CK] for k in range(len(blocks))]
@@ -370,8 +400,7 @@ def _col_gather(srcs, ksT_col, dst_same16, dst_suc16, want_slots=False):
         x_r = jnp.concatenate(
             [jnp.maximum(s[r * CN:(r + 1) * CN], NEG_BIG) for s in srcs]
             + [ones_row, slot_iota], axis=0)             # (8L+2, CK)
-        y = jnp.dot(x_r, oh, preferred_element_type=jnp.float32,
-                    precision=PREC)
+        y = _oh_dot(x_r, oh, onehot_left=False)
         matched = y[L * CN:L * CN + 1] > 0.5             # (1, CK+ACK)
         for k in range(L):
             gs = y[k * CN:(k + 1) * CN, :CK]
@@ -732,13 +761,39 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
         ]
         fA[...], fP[...], fS[...], fE[...], fI[...] = fwd_cols
 
-        # ---- posteriors: lp = fwd + bwd - Z (overwrites the bwd row) ----
+        # ---- posteriors: the Viterbi below accumulates the global-Zb
+        # form `lps` (per-t constants cancel in its argmax; keeps ap
+        # values comparable with the scan path), while the STORED lp the
+        # walk reads for the reported probabilities is normalized by the
+        # COLUMN's own mass — equal to Z by the forward-backward
+        # identity but immune to the ~0.2-nat fp32 drift of Zb over 16k
+        # steps (matches the fp32 scan path's max-shifted lse form) ----
         lps = []
+        mx = jnp.full((RC, 1), NEG_INF, jnp.float32)
         for st in range(5):
             bwd_st = bwd_ref[i, st * RC:(st + 1) * RC]
             lp_st = fwd_cols[st] + bwd_st - zcol
             lps.append(lp_st)
-            lp_ref[i, st * RC:(st + 1) * RC] = lp_st
+            mx = jnp.maximum(mx, jnp.max(lp_st, axis=1, keepdims=True))
+        # per-read max across the 8 n-slot sublanes: suffix roll-tree up
+        # then prefix tree down broadcasts the group max to every row
+        for up in (True, False):
+            for sh in (1, 2, 4):
+                mx = jnp.maximum(mx, _roll_grp(mx, sh, NEG_INF, up))
+        live_col = mx > NEG_THR
+        mx_safe = jnp.where(live_col, mx, 0.0)
+        tot = jnp.zeros((RC, 1), jnp.float32)
+        for lp_st in lps:
+            tot = tot + jnp.sum(jnp.exp(lp_st - mx_safe), axis=1,
+                                keepdims=True)
+        # sum the 8 sublanes of each read on the MXU, broadcast back
+        tot16 = jnp.dot(jnp.transpose(E), tot,
+                        preferred_element_type=jnp.float32, precision=PREC)
+        tot_rd = _exp16(E, tot16)                        # (128, 1)
+        col_rel = mx_safe + jnp.log(jnp.where(live_col, tot_rd, 1.0))
+        for st in range(5):
+            lp_ref[i, st * RC:(st + 1) * RC] = jnp.where(
+                live_col, lps[st] - col_rel, NEG_INF)
 
         # ---- viterbi over posteriors + first-match choices ----
         a_cands = []
@@ -1448,9 +1503,9 @@ def _train_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref, ksTn_ref, ksT_ref,
             x_r = jnp.concatenate(
                 [w[r * CN:(r + 1) * CN], wd[r * CN:(r + 1) * CN],
                  wdd[r * CN:(r + 1) * CN]], axis=0)        # (24, CK)
-            y = jnp.dot(r3, jnp.dot(x_r, oh,
-                                    preferred_element_type=jnp.float32,
-                                    precision=PREC),
+            # inner: value-binning is a <=1-match gather (dedup) -> the
+            # exact 3-pass bf16 form; outer (3, 24) row-sum stays HIGHEST
+            y = jnp.dot(r3, _oh_dot(x_r, oh, onehot_left=False),
                         preferred_element_type=jnp.float32,
                         precision=PREC)                    # (3, K)
             em[r * 3:(r + 1) * 3] = em[r * 3:(r + 1) * 3] + y

@@ -158,3 +158,38 @@ def test_ntc_engine_9mer_reduction_fallback(model9_rna, capsys):
     assert eng.model.kmer_size == 5
     red = reduce_model_to_5mer(model)
     np.testing.assert_allclose(eng.model.means, red.means)
+
+
+def test_ntc_engine_native_9mer_matches_reference(model9_rna):
+    """Batched engine at NATIVE K=4^9 (native_kmer=True, scan path) vs
+    dynamont-NTC on a mid-size read: borders, states, and the true 9-mer
+    polish column must match (ref: NTC_main.cpp:95-99 — the reference
+    always runs 9-mer models at native K)."""
+    import jax.numpy as jnp
+
+    from dynamont_tpu.models.batch import BatchItem
+    from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+
+    model, path = model9_rna
+    sig, read = _make_read9(model, 120, seed=7, rna=True)
+    p = _ref("dynamont-NTC", path, "rna004", sig, read)
+    assert p.returncode == 0, p.stderr
+    ref = []
+    for part in p.stdout.splitlines()[0].strip().split(";"):
+        if part:
+            st, rest = part[0], part[1:].split(",")
+            ref.append((st, int(rest[0]), int(rest[1]), float(rest[2]),
+                        rest[3]))
+    eng = NTCBatchEngine(model, "rna004", dtype=jnp.float64,
+                         native_kmer=True, fallback=False,
+                         t_pad_to=256, n_pad_to=16)
+    assert eng.model.kmer_size == 9  # no reduction happened
+    out = eng.run([BatchItem(sig, read)])[0]
+    assert out.error is None, out.error
+    assert len(out.segments) == len(ref)
+    n_med = 0
+    for g, r in zip(out.segments, ref):
+        assert g[0] == r[0] and g[1] == r[1] and g[2] == r[2]
+        assert g[4] == r[4], "polish column must be the native 9-mer"
+        n_med += 0 if abs(g[3] - r[3]) < 1e-4 else 1
+    assert n_med <= max(1, len(ref) // 10), n_med

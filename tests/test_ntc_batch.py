@@ -162,3 +162,80 @@ def test_overflow_wide_cap_rung(model, reads, exact):
         assert out.error is None, out.error
         assert abs(out.Z - res.Z) < 1e-6 * max(1.0, abs(res.Z))
         _assert_segments_close(out.segments, res.segments)
+
+
+def test_ckpt_tk_pre_pass_bit_equals_dense():
+    """pre_tk_batch_ckpt (checkpoint-recompute, O(T/chunk*K) memory — the
+    native-9-mer production path) must reproduce pre_tk_batch exactly:
+    the recomputed backward columns follow the identical op order."""
+    import math
+
+    from dynamont_tpu.constants import NT_TRANSITIONS
+    from dynamont_tpu.ops import ntc_batch as nb
+
+    model = load_model_for_pore("rna002")
+    nt = NT_TRANSITIONS["rna002"]
+    lm, le = math.log(nt["m1"]), math.log(nt["e2"])
+    mu, c1, c2 = model.score_params()
+    sigs = [make_read(model, n_bases=20 + 5 * s, seed=s)[0]
+            for s in range(3)]
+    T_arr = np.array([len(s) + 1 for s in sigs], np.int32)
+    sigp = np.zeros((3, 511))
+    for j, s in enumerate(sigs):
+        sigp[j, : len(s)] = s
+    for dt in (jnp.float64, jnp.float32):
+        a = nb.pre_tk_batch(jnp.asarray(sigp), jnp.asarray(T_arr),
+                            mu, c1, c2, lm, le, 4, 24, dt)
+        b = nb.pre_tk_batch_ckpt(jnp.asarray(sigp), jnp.asarray(T_arr),
+                                 mu, c1, c2, lm, le, 4, 24, dt, chunk=64)
+        for f in a._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                err_msg=f"{dt.__name__} {f}")
+
+
+def test_bigk_plan_equals_full_plan():
+    """_build_plan_one bigk=True (eq-broadcast k-maps, no (T, K+1)
+    scatter tables — the native-9-mer production path) == the full plan
+    field-for-field at 5-mer shapes."""
+    import math
+
+    from dynamont_tpu.constants import NT_TRANSITIONS
+    from dynamont_tpu.ops import ntc_batch as nb
+    from dynamont_tpu.utils.kmer import seq_to_kmer_ids
+
+    model = load_model_for_pore("rna002")
+    nt = NT_TRANSITIONS["rna002"]
+    lm, le = math.log(nt["m1"]), math.log(nt["e2"])
+    mu, c1, c2 = model.score_params()
+    sigs, kids = [], []
+    for s in range(3):
+        sig, read = make_read(model, n_bases=20 + 5 * s, seed=s)
+        sigs.append(sig)
+        kids.append(np.asarray(seq_to_kmer_ids(read, 5, 4), np.int32))
+    T_arr = np.array([len(s) + 1 for s in sigs], np.int32)
+    N_arr = np.array([len(k) + 1 for k in kids], np.int32)
+    sigp = np.zeros((3, 511))
+    kidp = np.zeros((3, 47), np.int32)
+    for j in range(3):
+        sigp[j, : len(sigs[j])] = sigs[j]
+        kidp[j, : len(kids[j])] = kids[j]
+    dt = jnp.float64
+    pn = nb.pre_tn_batch(jnp.asarray(sigp), jnp.asarray(kidp),
+                         jnp.asarray(N_arr), jnp.asarray(T_arr),
+                         mu, model.stdevs, lm, le, 8, dt)
+    pk = nb.pre_tk_batch(jnp.asarray(sigp), jnp.asarray(T_arr),
+                         mu, c1, c2, lm, le, 4, 24, dt)
+    args = (pn.cand, pn.cnt, pk.cand, pk.cnt, jnp.asarray(kidp),
+            jnp.asarray(N_arr), mu, c1, c2, 4, 5, dt)
+    full, df = nb.build_plan_batch(*args)
+    big, db = nb.build_plan_batch(*args, bigk=True)
+    assert df == db
+    live = np.asarray(full.live)
+    for f in full._fields:
+        x, y = np.asarray(getattr(full, f)), np.asarray(getattr(big, f))
+        if f == "from_tk":
+            # only consumed via `allowed` (live-gated): the bigk dedup
+            # skips membership tests for dead duplicate slots
+            x, y = x & live, y & live
+        np.testing.assert_array_equal(x, y, err_msg=f)

@@ -436,4 +436,12 @@ def test_engine_pallas_path_matches_scan_path(setup):
         assert op.error == os_.error
         if op.error is None:
             assert abs(op.Z - os_.Z) < 1e-3
-            assert op.segments == os_.segments
+            assert len(op.segments) == len(os_.segments)
+            for gp, gs in zip(op.segments, os_.segments):
+                # borders/states/polish are exact between the two paths;
+                # medians carry ~1e-6 noise from the per-column posterior
+                # normalizer (kernel roll-tree/MXU lse vs the scan's
+                # jnp reductions round differently)
+                assert (gp[0], gp[1], gp[2], gp[4]) == \
+                       (gs[0], gs[1], gs[2], gs[4])
+                assert abs(gp[3] - gs[3]) < 1e-5

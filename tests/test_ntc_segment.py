@@ -72,3 +72,37 @@ def test_native_ntc_walker_matches_python(model):
     finally:
         native.ntc_traceback_native = orig
     assert res_native.segments == res_py.segments
+
+
+def test_ntc_production_length_matches_reference(model):
+    """Production-scale parity: ONE T~16k read border-for-border through
+    the BATCHED fp32 engine (the production path) vs dynamont-NTC.
+    Closes the ladder at real read length — the small-N tests above
+    anchor exactness, this anchors the 16k-step fp32 accumulation
+    (ref: NTC_main.cpp:151-175 at production T)."""
+    import jax.numpy as jnp
+
+    from dynamont_tpu.models.batch import BatchItem
+    from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+
+    sig, read = make_read(model, n_bases=1350, mean_dwell=12.0, seed=3)
+    sig = sig[:16000]
+    p = run_reference("dynamont-NTC", signal_to_text(sig), read)
+    assert p.returncode == 0, p.stderr
+    ref = _parse_ref(p.stdout.splitlines()[0])
+    eng = NTCBatchEngine(model, "rna002", dtype=jnp.float32,
+                         fallback=False)
+    out = eng.run([BatchItem(sig, read)])[0]
+    assert out.error is None, out.error
+    assert len(out.segments) == len(ref)
+    n_mismatch = 0
+    for g, r in zip(out.segments, ref):
+        same = (
+            g[0] == r[0] and g[1] == r[1] and g[2] == r[2]
+            and abs(g[3] - r[3]) < 5e-3 and g[4] == r[4]
+        )
+        n_mismatch += 0 if same else 1
+    # fp32 near-ties may flip occasional segments over 16k steps
+    assert n_mismatch <= max(2, len(ref) // 50), (
+        f"{n_mismatch}/{len(ref)} mismatches"
+    )
