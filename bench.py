@@ -259,7 +259,7 @@ def bench_ntc(model, items, metrics):
         )
         warm = eng.run(items[:16])
     t0 = time.perf_counter()
-    outs = eng.run(pool[:32])
+    outs = eng.run(pool[:48])
     dt = time.perf_counter() - t0
     n_ok = sum(1 for o in outs if o.error is None)
     n_ovf = sum(
@@ -287,7 +287,7 @@ def bench_ntc(model, items, metrics):
     try:
         warm = eng.train(items[:16])
         t0 = time.perf_counter()
-        outs = eng.train(pool[:32])
+        outs = eng.train(pool[:48])
         dt = time.perf_counter() - t0
         n_ok = sum(1 for o in outs if not isinstance(o, Exception))
         tr_per_s = len(outs) / dt * (n_ok / max(1, len(outs)))

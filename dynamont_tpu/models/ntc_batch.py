@@ -714,13 +714,25 @@ class NTCBatchEngine:
                 for i in gidx
             ]
             N_arr = np.array([len(k) + 1 for k in kmer_ids], np.int32)
+            # pad the read axis to a FIXED width: overflow counts vary
+            # run to run, and every distinct R is a fresh ~35 s XLA
+            # compile — one stable shape per T bucket instead (extra
+            # rows replicate read 0 and are never collected)
+            R_pad = R if R > 8 else (4 if R <= 4 else 8)
+            if R_pad > R:
+                T_arr = np.concatenate(
+                    [T_arr, np.repeat(T_arr[:1], R_pad - R)])
+                N_arr = np.concatenate(
+                    [N_arr, np.repeat(N_arr[:1], R_pad - R)])
             T_pad = round_up(int(T_arr.max()), self.t_pad_to)
             N2 = round_up(int(N_arr.max()), self.n_pad_to)
-            sig = np.zeros((R, T_pad - 1), np.float32)
-            kid = np.zeros((R, N2 - 1), np.int32)
-            for j, i in enumerate(gidx):
+            sig = np.zeros((R_pad, T_pad - 1), np.float32)
+            kid = np.zeros((R_pad, N2 - 1), np.int32)
+            for j in range(R_pad):
+                i = gidx[j] if j < R else gidx[0]
+                kj = kmer_ids[j] if j < R else kmer_ids[0]
                 sig[j, : T_arr[j] - 1] = items[i].signal
-                kid[j, : N_arr[j] - 1] = kmer_ids[j]
+                kid[j, : N_arr[j] - 1] = kj
             S_max = round_up(N2 + N2 // 4 + 64, 128)
             dev = self._next_device()
             res = self._fn(

@@ -89,8 +89,30 @@ def select_topk(U, cap: int, ge_break: bool, col_live, sentinel: int):
     (descending value) with the valid entries as a prefix and `sentinel`
     elsewhere, count, overflow).
     """
+    W = U.shape[-1]
     if cap <= 16:
         vals, idx = _topk_maxmask(U, cap)
+    elif W >= 32768 and cap <= 128 and W % 128 == 0:
+        # big-K (native 9-mer, W = 4^9): exact two-stage top-cap — block
+        # maxima, top-cap BLOCKS, then an exact top_k over the <=cap*128
+        # gathered lanes. Every global top-cap element lives in a
+        # selected block (a block holding one has max >= the cap-th
+        # value; more than cap such blocks would mean more than cap such
+        # elements). ~10x cheaper than a full-width top_k per scan step.
+        # Tie caveat: equal values in different blocks merge in
+        # block-max order rather than global-index order — the crossing
+        # COUNT is unchanged (equal exp terms commute in the cumsum);
+        # only which of the exactly-tied candidates is kept can differ,
+        # measure-zero for continuous posteriors.
+        Rr = U.shape[0]
+        B = W // 128
+        Ub = U.reshape(Rr, B, 128)
+        bm = jnp.max(Ub, axis=2)
+        _, bidx = jax.lax.top_k(bm, cap)                     # (R, cap)
+        gath = jnp.take_along_axis(Ub, bidx[:, :, None], axis=1)
+        vals, li = jax.lax.top_k(gath.reshape(Rr, cap * 128), cap)
+        blk = jnp.take_along_axis(bidx, li // 128, axis=1)
+        idx = blk * 128 + (li % 128)
     else:
         vals, idx = jax.lax.top_k(U, cap)  # desc, ties -> lower idx first
     # crossing test in exp space relative to the column max: one exp +

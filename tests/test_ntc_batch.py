@@ -239,3 +239,38 @@ def test_bigk_plan_equals_full_plan():
             # skips membership tests for dead duplicate slots
             x, y = x & live, y & live
         np.testing.assert_array_equal(x, y, err_msg=f)
+
+
+def test_select_topk_bigk_block_merge_matches_oracle():
+    """The two-stage block-merge selection (W >= 32768, the native-9-mer
+    path) == the full-width top_k oracle, incl. adversarial clustering
+    of the top values inside single blocks."""
+    import math
+
+    import jax
+
+    from dynamont_tpu.ops.ntc_batch import select_topk
+    from dynamont_tpu.ops.ntc_pre import SPARSE_THRESHOLD
+
+    rng = np.random.default_rng(1)
+    W = 65536
+    U = rng.normal(-40, 8, size=(4, W))
+    U[0, 100:50000] = -np.inf
+    U[1, :] = np.sort(U[1, :])[::-1].copy()  # top values in the low blocks
+    U[2, :256] = 50.0 + np.arange(256) * 1e-9  # one block holds the top
+    live = jnp.ones((4,), bool)
+    c1, n1, o1 = select_topk(jnp.asarray(U), 120, True, live, W)
+    vals, idx = jax.lax.top_k(jnp.asarray(U), 120)
+    m = vals[:, :1]
+    ms = jnp.where(jnp.isfinite(m), m, 0.0)
+    tot = jnp.sum(jnp.exp(jnp.asarray(U) - ms), axis=1, keepdims=True)
+    run = jnp.cumsum(jnp.exp(vals - ms), axis=1)
+    crossed = (run >= math.exp(SPARSE_THRESHOLD) * tot) & jnp.isfinite(m)
+    prev = jnp.concatenate(
+        [jnp.zeros_like(crossed[:, :1]), crossed[:, :-1]], axis=1)
+    inc = ~prev & live[:, None]
+    np.testing.assert_array_equal(
+        np.asarray(c1), np.asarray(jnp.where(inc, idx, W)))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(inc.sum(1)))
+    np.testing.assert_array_equal(
+        np.asarray(o1), np.asarray(live & ~crossed[:, -1]))
