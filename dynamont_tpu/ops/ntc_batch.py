@@ -122,6 +122,16 @@ def select_topk(U, cap: int, ge_break: bool, col_live, sentinel: int):
     m = vals[:, :1]
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
     tot = jnp.sum(jnp.exp(U - m_safe), axis=1, keepdims=True)
+    return crossing_from_topk(vals, idx, tot, ge_break, col_live, sentinel)
+
+
+def crossing_from_topk(vals, idx, tot, ge_break: bool, col_live, sentinel):
+    """select_topk's 95%-mass crossing given an already-extracted
+    descending top-cap (vals, idx) and the column's exp-mass `tot`
+    relative to vals[:, :1] (the in-kernel fused selections of
+    ops/ntc_pre_pallas feed this directly)."""
+    m = vals[:, :1]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
     run = jnp.cumsum(jnp.exp(vals - m_safe), axis=1)
     thresh = math.exp(SPARSE_THRESHOLD) * tot
     dead = ~jnp.isfinite(m)
@@ -672,23 +682,27 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
         bcol_suc = kslot(next_tab, suc_flat)
 
     if lite:
-        # per-k-slot model params are gathered on the MXU by
-        # ops/ntc_pallas.table_gather_pallas inside build_kernel_packs:
-        # XLA lowers these (T, CK)/(T, A*CK) take gathers to ~5 ns/element
-        # — 3.6 s of a 4.8 s T=16k bucket (probe_ntc_plan_micro.py)
+        # per-slot model params (k-side AND n-side) are gathered on the
+        # MXU by ops/ntc_pallas.table_gather_pallas inside
+        # build_kernel_packs: XLA lowers these take gathers to
+        # ~5 ns/element — the n-side alone is 160 ms of the plan stage
+        # at T=16k (probe bdys1gbtg)
         zf = jnp.zeros((T, 1), dtype)
         mu_k = c1_k = c2_k = mu_suc = c1_suc = c2_suc = zf
+        mu_n = c1_n = c2_n = mu_n2 = c1_n2 = c2_n2 = zf
         suc_vals = jnp.zeros((T, 1), jnp.int32)
     else:
         mu_k, c1_k, c2_k = means[ks_safe], c1[ks_safe], c2[ks_safe]
         mu_suc, c1_suc, c2_suc = means[suc_flat], c1[suc_flat], c2[suc_flat]
+        mu_n, c1_n, c2_n = means[kN], c1[kN], c2[kN]
+        mu_n2, c1_n2, c2_n2 = means[kN2], c1[kN2], c2[kN2]
         suc_vals = suc_flat.astype(jnp.int32)
     return NTCPlan(
         cand_n=cand_n.astype(jnp.int32), cnt_n=cnt_n.astype(jnp.int32),
         ks=ks, live=live, from_tk=from_tk, allowed=allowed,
         mu_k=mu_k, c1_k=c1_k, c2_k=c2_k,
-        kN=kN.astype(jnp.int32), mu_n=means[kN], c1_n=c1[kN], c2_n=c2[kN],
-        kN2=kN2.astype(jnp.int32), mu_n2=means[kN2], c1_n2=c1[kN2], c2_n2=c2[kN2],
+        kN=kN.astype(jnp.int32), mu_n=mu_n, c1_n=c1_n, c2_n=c2_n,
+        kN2=kN2.astype(jnp.int32), mu_n2=mu_n2, c1_n2=c1_n2, c2_n2=c2_n2,
         row_same=slot2(cand_n, prev_n), row_prev=slot2(cand_n - 1, prev_n),
         col_same=col_same, col_prec=col_prec,
         brow_same=slot2(cand_n, next_n), brow_next=slot2(cand_n + 1, next_n),

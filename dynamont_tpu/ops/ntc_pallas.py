@@ -228,12 +228,6 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int, tables=None,
     sig_tm1 = rep(sig_prev.T)
 
     streams = [None] * NS
-    streams[MU_N] = _f32(plan.mu_n)
-    streams[C1_N] = _f32(plan.c1_n)
-    streams[C2_N] = _f32(plan.c2_n)
-    streams[MU_N2] = _f32(plan.mu_n2)
-    streams[C1_N2] = _f32(plan.c1_n2)
-    streams[C2_N2] = _f32(plan.c2_n2)
     streams[NPOS] = _f32(n_pos)
     streams[NLT] = _f32(n_lt)
     streams[CHAINUP] = _f32(chup3.reshape(T_pad, RC))
@@ -250,9 +244,6 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int, tables=None,
     streams[N0] = _f32(n0)
     streams[SIG_T] = sig_t
     streams[SIG_TM1] = sig_tm1
-    zero = jnp.zeros((T_pad, RC), jnp.float32)
-    streams = [zero if s is None else s for s in streams]
-    nrow = jnp.stack(streams, axis=1)                   # (T, NS, 128)
 
     k16 = lambda a: _f32(a).reshape(T_pad, R, CK)
     sigk = jnp.broadcast_to(sig_pad.T[:, :, None], (T_pad, R, CK))
@@ -262,6 +253,16 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int, tables=None,
     if tables is not None:
         tabT = combined_tablesT(*tables, A, K)
         ks_i = plan.ks.reshape(T_pad, R * CK).astype(jnp.int32)
+        # n-side params ride the same gather: append the kN/kN2 value
+        # columns (their XLA take gathers alone cost 160 ms of the plan
+        # stage at T=16k) + zero lanes padding J to a JC_TG multiple
+        n_j = plan.kN.shape[1]
+        assert n_j == RC, (plan.kN.shape,)  # lite plan keeps full kN/kN2
+        j_pad = (-(R * CK + 2 * RC)) % JC_TG
+        ks_all = jnp.concatenate(
+            [ks_i, plan.kN.astype(jnp.int32), plan.kN2.astype(jnp.int32),
+             jnp.zeros((T_pad, j_pad), jnp.int32)], axis=1)
+        J_all = ks_all.shape[1]
         # chunk over T: the raw gather output is (T, NTAB, J) f32 — 2 GB
         # at T=16k — and keeping it whole OOMs the 16 GB chip (18.0 G
         # program requirement measured). lax.map keeps one ~128 MB chunk
@@ -272,23 +273,41 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int, tables=None,
 
         def _chunk(ks_c):
             g = table_gather_pallas(ks_c, tabT, interpret=interpret)
-            col = lambda c: g[:, c].reshape(-1, R, CK)
+            col = lambda c: g[:, c, :R * CK].reshape(-1, R, CK)
             suc_c = jnp.stack(
                 [jnp.concatenate([col(3 + t * A + a) for a in range(A)],
                                  axis=2) for t in range(3)], axis=1)
-            return col(0), col(1), col(2), suc_c
+            nsl = g[:, :3, R * CK:R * CK + 2 * RC]       # (TC, 3, 2*128)
+            return col(0), col(1), col(2), suc_c, nsl
 
-        mu_k, c1_k, c2_k, suc = jax.lax.map(
-            _chunk, ks_i.reshape(-1, TC, R * CK))
+        mu_k, c1_k, c2_k, suc, nsl = jax.lax.map(
+            _chunk, ks_all.reshape(-1, TC, J_all))
         mu_k = mu_k.reshape(T_pad, R, CK)
         c1_k = c1_k.reshape(T_pad, R, CK)
         c2_k = c2_k.reshape(T_pad, R, CK)
         suc = suc.reshape(T_pad, NSS, R, ACK)
+        nsl = nsl.reshape(T_pad, 3, 2 * RC)
+        n_gathered = (nsl[:, 0, :RC], nsl[:, 1, :RC], nsl[:, 2, :RC],
+                      nsl[:, 0, RC:], nsl[:, 1, RC:], nsl[:, 2, RC:])
     else:
         mu_k, c1_k, c2_k = k16(plan.mu_k), k16(plan.c1_k), k16(plan.c2_k)
         s16 = lambda a: _f32(a).reshape(T_pad, R, ACK)
         suc = jnp.stack(
             [s16(plan.mu_suc), s16(plan.c1_suc), s16(plan.c2_suc)], axis=1)
+        n_gathered = None
+    if n_gathered is not None:
+        (streams[MU_N], streams[C1_N], streams[C2_N],
+         streams[MU_N2], streams[C1_N2], streams[C2_N2]) = n_gathered
+    else:
+        streams[MU_N] = _f32(plan.mu_n)
+        streams[C1_N] = _f32(plan.c1_n)
+        streams[C2_N] = _f32(plan.c2_n)
+        streams[MU_N2] = _f32(plan.mu_n2)
+        streams[C1_N2] = _f32(plan.c1_n2)
+        streams[C2_N2] = _f32(plan.c2_n2)
+    zero = jnp.zeros((T_pad, RC), jnp.float32)
+    streams = [zero if s is None else s for s in streams]
+    nrow = jnp.stack(streams, axis=1)                   # (T, NS, 128)
     kcol = jnp.stack([mu_k, c1_k, c2_k, ks_live, sigk, sigkm], axis=1)
 
     ksT = ks_live.transpose(0, 2, 1)                     # (T, CK, 16)

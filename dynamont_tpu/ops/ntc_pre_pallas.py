@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dynamont_tpu.ops.ntc_batch import (
-    LOG_2PI, PreBatchResult, select_topk,
+    LOG_2PI, PreBatchResult, crossing_from_topk, select_topk,
 )
 
 R = 16
@@ -106,8 +106,8 @@ def _tn_fwd_kernel(sigp_ref, tab_ref, rd_ref, out_ref, stM, stE,
     jax.lax.fori_loop(0, C, body, 0)
 
 
-def _tn_bwd_kernel(sigp_ref, tab_ref, rd_ref, fwd_ref, u_ref, e0_ref,
-                   stM, stE, *, C, nc, N2, m1, e2):
+def _tn_bwd_kernel(sigp_ref, tab_ref, rd_ref, fwd_ref, sel_ref, e0_ref,
+                   stM, stE, *, C, nc, N2, cap, m1, e2):
     ci = pl.program_id(0)
     chunk = nc - 1 - ci
     lane = _lane_iota(N2)
@@ -143,8 +143,24 @@ def _tn_bwd_kernel(sigp_ref, tab_ref, rd_ref, fwd_ref, u_ref, e0_ref,
         E_out = jnp.where(is_term, termE,
                           jnp.where(dead, NEG_INF, ext))
         stM[...], stE[...] = M_out, E_out
-        u_ref[i] = jnp.logaddexp(fwd_ref[i, 0] + M_out,
-                                 fwd_ref[i, 1] + E_out)
+        # fused top-cap extraction (== ops/ntc_batch._topk_maxmask: min
+        # index of the running max = argmax's first occurrence) — the
+        # (T, R, N2) posterior tensor never leaves the kernel; the 95%
+        # crossing runs outside on the (T, R, cap) extract
+        u = jnp.logaddexp(fwd_ref[i, 0] + M_out, fwd_ref[i, 1] + E_out)
+        m0 = jnp.max(u, axis=1, keepdims=True)
+        m0s = jnp.where(m0 > -1e30, m0, 0.0)
+        tot = jnp.sum(jnp.exp(u - m0s), axis=1, keepdims=True)
+        cols = []
+        uu = u
+        for _j in range(cap):
+            mj = jnp.max(uu, axis=1, keepdims=True)
+            ij = jnp.min(jnp.where(uu == mj, lane, 3e9), axis=1,
+                         keepdims=True)
+            uu = jnp.where(lane == ij, NEG_INF, uu)
+            cols += [mj, ij]
+        pad = jnp.zeros((R, 128 - 2 * cap - 2), jnp.float32)
+        sel_ref[i] = jnp.concatenate(cols + [m0, tot, pad], axis=1)
         return 0
 
     jax.lax.fori_loop(0, C, body, 0)
@@ -196,8 +212,9 @@ def pre_tn_pallas(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
 
     nc = T_pad // C
     rev = lambda c: (nc - 1 - c, 0, 0)
-    U, E0 = pl.pallas_call(
-        functools.partial(_tn_bwd_kernel, C=C, nc=nc, N2=N2,
+    assert 2 * cap + 2 <= 128, cap
+    sel, E0 = pl.pallas_call(
+        functools.partial(_tn_bwd_kernel, C=C, nc=nc, N2=N2, cap=cap,
                           m1=np.float32(log_m1), e2=np.float32(log_e2)),
         grid=(nc,),
         in_specs=[
@@ -211,12 +228,12 @@ def pre_tn_pallas(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((C, R, N2), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, R, 128), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((R, N2), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T_pad, R, N2), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, R, 128), jnp.float32),
             jax.ShapeDtypeStruct((R, N2), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((R, N2), jnp.float32)] * 2,
@@ -228,9 +245,14 @@ def pre_tn_pallas(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
     Zb = E0[:, 0]
     t_io = jnp.arange(T_pad, dtype=jnp.int32)[:, None]
     col_live = (t_io <= (T_r - 1)[None, :]).reshape(-1)
-    cand, cnt, ovf = select_topk(
-        U.reshape(T_pad * R, N2), cap, ge_break=False, col_live=col_live,
-        sentinel=N2,
+    # the backward kernel fused the top-cap extraction; only the tiny
+    # 95%-mass crossing over (T*R, cap) runs here
+    sel2 = sel.reshape(T_pad * R, 128)
+    vals = sel2[:, 0:2 * cap:2]
+    idx = sel2[:, 1:2 * cap:2].astype(jnp.int32)
+    tot = sel2[:, 2 * cap + 1:2 * cap + 2]
+    cand, cnt, ovf = crossing_from_topk(
+        vals, idx, tot, ge_break=False, col_live=col_live, sentinel=N2,
     )
     cand = jnp.sort(cand.reshape(T_pad, R, cap), axis=2)
     return PreBatchResult(cand, cnt.reshape(T_pad, R), Zf, Zb,

@@ -113,6 +113,13 @@ def test_table_gather_packs_match(setup):
         a = np.asarray(s["packs"].suc[:, st])
         b = np.asarray(packs_g.suc[:, st])
         assert (a == b)[live_a].all(), st
+    # n-side params ride the same gather; kN/kN2 are always in range
+    # (0 fallback at invalid slots) -> exact equality everywhere
+    for st in (npk.MU_N, npk.C1_N, npk.C2_N,
+               npk.MU_N2, npk.C1_N2, npk.C2_N2):
+        np.testing.assert_array_equal(
+            np.asarray(packs_g.nrow[:, st]),
+            np.asarray(s["packs"].nrow[:, st]), err_msg=str(st))
 
 
 @pytest.mark.slow
@@ -233,6 +240,7 @@ def test_lite_plan_matches_full_plan(setup):
     # by test_table_gather_packs_match) — lite plans carry 1-wide dummies
     dropped = {"col_same", "col_prec", "bcol_same", "bcol_suc",
                "mu_k", "c1_k", "c2_k", "mu_suc", "c1_suc", "c2_suc",
+               "mu_n", "c1_n", "c2_n", "mu_n2", "c1_n2", "c2_n2",
                "suc_vals", "hd1", "hd2", "hd1s", "hd2s", "allowed",
                "from_tk"}
     for name in full._fields:
