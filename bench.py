@@ -19,8 +19,13 @@ import os
 import sys
 import time
 
-REF_BANDED_READS_PER_S = 0.75   # reference single-core basic mode
-REF_NTC_READS_PER_S = 0.072     # reference single-core NTC (13.9 s/read)
+# reference single-core denominators, RE-MEASURED 2026-08-19 on this host
+# (8 runs of dynamont-NT-banded -t 1 at the bench workload, median 0.88
+# s/read; the round-1 recording of 1.35 s/read / 0.75 reads/s was slower
+# than the current Release build reproduces — using the faster, fresher
+# number keeps every vs_baseline honest). NTC re-measured 13.6-13.9 s/read.
+REF_BANDED_READS_PER_S = 1.14   # reference single-core basic mode
+REF_NTC_READS_PER_S = 0.0727    # reference single-core NTC
 
 N_READS = int(os.environ.get("DYNAMONT_BENCH_READS", 64))
 N_BASES = int(os.environ.get("DYNAMONT_BENCH_BASES", 1800))
