@@ -357,8 +357,11 @@ class NTCBatchEngine:
                                  " (pallas=False)")
             pallas = False
             if batch_size == 16:  # default -> big-K-safe bucket geometry
-                batch_size = 1
-            max_batch_samples = min(max_batch_samples, 20480)
+                batch_size = 2
+            # two T=16k reads per bucket: ~6 GB of checkpoint + eq-plan
+            # state at K=4^9 fp32; the scan cost is per-STEP-bound, so
+            # R=2 is ~2x the reads/s of R=1
+            max_batch_samples = min(max_batch_samples, 36864)
         elif model.kmer_size > 5:
             # documented 9-mer fallback: NTC runs on the reduced 5-mer
             # tables (utils.pore_model.reduce_model_to_5mer; the dense TK
