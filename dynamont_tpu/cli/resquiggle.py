@@ -152,7 +152,10 @@ def _run_basic(args, model, jobs, writer, rna):
     eng = BandedBatchEngine(
         model, args.pore, dtype=jnp.float32, batch_size=args.batch_size,
     )
-    # stream in chunks of a few buckets to bound memory
+    # stream in chunks of a few buckets to bound memory; larger chunks
+    # measured NO throughput gain (the engine's dispatch wave already
+    # overlaps device work within a chunk, and deeper device queues
+    # behaved worse on the tunnel-attached chip)
     chunk: list = []
     CHUNK = args.batch_size * 4
 

@@ -109,7 +109,8 @@ def generate_tsv_jobs(path: str, rna: bool, min_qual: float = 0):
                 continue
             parts = line.split("\t")
             readid, signalid, sig_text, read = parts[:4]
-            signal = np.array([float(x) for x in sig_text.split(",")], np.float64)
+            # parse the CSV floats in C (still raises on malformed input)
+            signal = np.array(sig_text.split(","), dtype=np.float64)
             if len(parts) >= 6:
                 shift, scale = float(parts[4]), float(parts[5])
                 signal = (signal - shift) / scale
