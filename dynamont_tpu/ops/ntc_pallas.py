@@ -12,12 +12,14 @@ Layout (all tensors T-major):
   (m = r*8 + i), the CK=128 k-slots the lane axis — every vector op runs
   at full (8, 128)-tile utilization and a DP state is one (128, 128)
   block; the five APSEI states stack to (640, 128) rows in the stores;
-* slot gathers are one-hot matmuls on the MXU at Precision.HIGHEST
-  (bit-exact for fp32 values; a plain bf16 pass would corrupt log-probs,
-  see ops/ntc_batch._gc): row (n-slot) gathers use a 128x128 block-
-  diagonal one-hot; column (k-slot) gathers run one small matmul per read
-  against a (CK, 128+512) one-hot of that read's [same | successor]
-  target indices;
+* slot gathers are one-hot matmuls on the MXU in THREE bf16 passes
+  (_oh_dot: exact — the one-hot side is exactly bf16 and each output
+  receives at most one source term, so the three bf16 components
+  reconstruct fp32 bit-identically to a Precision.HIGHEST gather at half
+  the passes): row (n-slot) gathers use a 128x128 block-diagonal
+  one-hot; column (k-slot) gathers run one small matmul per read against
+  a (CK, 128+512) one-hot of that read's [same | successor] target
+  indices;
 * per-(t, n-slot) scalars stream as a (T, NS, 128) pack transposed
   in-kernel to (128, NS) columns; per-(t, read) k-row streams as
   (T, *, 16, CK/ACK) packs expanded to 128 sublanes by a one-hot matmul;
@@ -373,6 +375,13 @@ def _oh_dot(a, b, onehot_left: bool):
 def _exp16(E, x16):
     """(16, W) per-read rows -> (128, W) replicated over the CN sublanes."""
     return _oh_dot(E, x16, onehot_left=True)
+
+
+def _exp16_small(E, x16):
+    """_exp16 for values already exact in bf16 (small integers <= 256,
+    e.g. slot indices): ONE MXU pass instead of three."""
+    return jnp.dot(E.astype(jnp.bfloat16), x16.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
 
 
 def _row_gather(idx_col, blocks):
@@ -856,8 +865,8 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
         # cs is per (read, k-slot); the A/P predecessor slot depends on
         # the cell's chosen alphabet digit, selected from the A-major
         # cpa lanes per cell
-        cs_E = _exp16(E, cs16 + 1.0)
-        cpa_E = _exp16(E, cpa16 + 1.0)
+        cs_E = _exp16_small(E, cs16 + 1.0)   # slot idx + 1 in [0, 128]
+        cpa_E = _exp16_small(E, cpa16 + 1.0)
         ai_a = ch_a >> 1
         ai_p = ch_p // 3
         cpaA = jnp.zeros((RC, CK), jnp.float32)

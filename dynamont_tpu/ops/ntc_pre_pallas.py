@@ -3,11 +3,13 @@
 The XLA scan versions (ops/ntc_batch.pre_tn_batch / pre_tk_batch) pay the
 backend's fixed per-HLO-op dispatch cost at every one of the ~16k scan
 steps (~1.6 s per bucket). These kernels run the identical recurrences
-(ref: src/cpp/NTC.cpp:80-217,229-349) as on-core fori loops and
-materialize the fused posterior tensor U = fwd + bwd per pass; the
-reference-exact 95%-mass candidate selection (ops/ntc_batch.select_topk)
-then runs as ONE bulk XLA call over (T*R, W) instead of 16k per-step
-top_k's.
+(ref: src/cpp/NTC.cpp:80-217,229-349) as on-core fori loops. Candidate
+selection (the reference-exact 95%-mass rule): the TN backward kernel
+extracts the per-column top-cap IN-KERNEL (the (T, R, N2) posterior
+tensor never reaches HBM) and only the tiny crossing
+(ops/ntc_batch.crossing_from_topk) runs outside; the TK pass
+materializes U = fwd + bwd and selects with ONE bulk XLA top_k over
+(T*R, K) instead of 16k per-step top_k's.
 
 Layouts: reads are the 16 SUBLANES of (16, W) vectors, lattice positions
 (n for TN, k for TK) the lanes (W = N2 resp. K, multiples of 128). Per-t
