@@ -181,7 +181,11 @@ def bench_banded(model, items, metrics):
         for nd in range(1, len(devs) + 1):
             e = make_engine()
             e.devices = devs[:nd]
-            e.run(items[:16])  # warm any new devices
+            # warm with the FULL pool: round-robin places buckets on
+            # every device, and each device's first dispatch is a fresh
+            # per-device jit cache entry (~35 s compile) that must not
+            # land in the timed run
+            e.run(items)
             t0 = time.perf_counter()
             outs = e.run(items)
             d = time.perf_counter() - t0
@@ -344,8 +348,14 @@ def bench_ntc_noisy(model, metrics):
     # directly): its first compile is ~1-2 min, which is not the
     # per-read repair cost this metric reports
     eng._run_wide([0], items, [None] * len(items))
+    # zero every retry counter: the warm run(items[:16]) itself may have
+    # sent overflowing noisy reads through the rung, which would inflate
+    # the measured overflow rate (and deflate the per-read repair cost)
     eng.profile["exact_s"] = 0.0
+    eng.profile["wide_s"] = 0.0
     eng.profile["reads"] = 0
+    eng.profile["wide_retries"] = 0
+    eng.profile["exact_retries"] = 0
     t0 = time.perf_counter()
     outs = eng.run(items)
     dt = time.perf_counter() - t0
@@ -367,7 +377,7 @@ def bench_ntc_noisy(model, metrics):
     if n_wide:
         # wide-rung cost per overflowing read (the whole point: < 1 s,
         # vs ~40 s/read on the old per-read fp64 cliff)
-        wide_s = eng.profile["exact_s"]
+        wide_s = eng.profile.get("wide_s", 0.0)
         metrics.append({
             "metric": "ntc_overflow_retry_cost",
             "value": round(wide_s / n_wide, 3),

@@ -236,8 +236,9 @@ def _print_profile(args, eng) -> None:
         f"{n / max(1e-9, pr['dispatch_s'] + pr['collect_s']):.1f} reads/s"
     )
     if "exact_retries" in pr:
-        line += (f" | exact-path retries {pr['exact_retries']} "
-                 f"({pr['exact_s']:.2f}s)")
+        line += (f" | wide-rung retries {pr.get('wide_retries', 0)} "
+                 f"({pr.get('wide_s', 0.0):.2f}s) | exact-path retries "
+                 f"{pr['exact_retries']} ({pr['exact_s']:.2f}s)")
     import sys
 
     print(line, file=sys.stderr)

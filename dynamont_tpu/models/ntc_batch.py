@@ -475,21 +475,29 @@ class NTCBatchEngine:
         # escalation ladder for cap-overflow reads: (1) one fp32 scan-path
         # bucket at doubled caps (shared across all overflowing reads —
         # far cheaper than the per-read fp64 path), (2) exact fp64
-        exact = (self._run_wide(retry, items, outputs)
-                 if retry and self.fallback and self.wide_retry else retry)
+        use_wide = bool(retry) and self.fallback and self.wide_retry
+        exact = self._run_wide(retry, items, outputs) if use_wide else retry
+        t3 = time.perf_counter()
         for i in exact:
             outputs[i] = self._run_exact(items[i])
         self.profile["buckets"] += len(pending)
         self.profile["reads"] += len(valid)
         self.profile["dispatch_s"] += t1 - t0
         self.profile["collect_s"] += t2 - t1
+        # wide_retries counts reads the RUNG actually processed; wide_s /
+        # exact_s attribute the two rungs separately
         self.profile["wide_retries"] = (
-            self.profile.get("wide_retries", 0) + len(retry))
+            self.profile.get("wide_retries", 0)
+            + (len(retry) if use_wide else 0))
         self.profile["exact_retries"] += len(exact)
-        self.profile["exact_s"] += time.perf_counter() - t2
+        self.profile["wide_s"] = (
+            self.profile.get("wide_s", 0.0) + (t3 - t2 if use_wide else 0.0))
+        self.profile["exact_s"] += time.perf_counter() - t3
         return outputs  # type: ignore[return-value]
 
-    def _pad_bucket(self, gidx, items):
+    def _pad_bucket(self, gidx, items, r_pad: int | None = None):
+        """Pack a bucket; r_pad forces the read-axis width (extra rows
+        replicate read 0 and are never collected)."""
         R = len(gidx)
         T_arr = np.array([len(items[i].signal) + 1 for i in gidx], np.int32)
         kmer_ids = [
@@ -500,7 +508,7 @@ class NTCBatchEngine:
             for i in gidx
         ]
         N_arr = np.array([len(k) + 1 for k in kmer_ids], np.int32)
-        R_pad = 16 if self.pallas else R
+        R_pad = r_pad if r_pad is not None else (16 if self.pallas else R)
         if R_pad != R:
             # kernel geometry needs exactly 16 reads: replicate the first
             # (extra outputs are simply never collected)
@@ -708,34 +716,12 @@ class NTCBatchEngine:
         still: list[int] = []
         for gidx in self._buckets(idxs, items):
             R = len(gidx)
-            T_arr = np.array(
-                [len(items[i].signal) + 1 for i in gidx], np.int32)
-            kmer_ids = [
-                np.asarray(seq_to_kmer_ids(
-                    items[i].read, self.model.kmer_size,
-                    self.model.alphabet_size), np.int32)
-                for i in gidx
-            ]
-            N_arr = np.array([len(k) + 1 for k in kmer_ids], np.int32)
             # pad the read axis to a FIXED width: overflow counts vary
             # run to run, and every distinct R is a fresh ~35 s XLA
-            # compile — one stable shape per T bucket instead (extra
-            # rows replicate read 0 and are never collected)
-            R_pad = R if R > 8 else (4 if R <= 4 else 8)
-            if R_pad > R:
-                T_arr = np.concatenate(
-                    [T_arr, np.repeat(T_arr[:1], R_pad - R)])
-                N_arr = np.concatenate(
-                    [N_arr, np.repeat(N_arr[:1], R_pad - R)])
-            T_pad = round_up(int(T_arr.max()), self.t_pad_to)
-            N2 = round_up(int(N_arr.max()), self.n_pad_to)
-            sig = np.zeros((R_pad, T_pad - 1), np.float32)
-            kid = np.zeros((R_pad, N2 - 1), np.int32)
-            for j in range(R_pad):
-                i = gidx[j] if j < R else gidx[0]
-                kj = kmer_ids[j] if j < R else kmer_ids[0]
-                sig[j, : T_arr[j] - 1] = items[i].signal
-                kid[j, : N_arr[j] - 1] = kj
+            # compile — one stable shape per T bucket instead
+            r_pad = next((w for w in (4, 8, 16) if R <= w), R)
+            T_arr, N_arr, sig, kid, N2 = self._pad_bucket(
+                gidx, items, r_pad=r_pad)
             S_max = round_up(N2 + N2 // 4 + 64, 128)
             dev = self._next_device()
             res = self._fn(
@@ -757,6 +743,14 @@ class NTCBatchEngine:
                                        outputs)
             finally:
                 self.cap_n, self.cap_k = saved_n, saved_k
+            # a wide-rung Z-gate failure is NOT terminal: these reads
+            # previously went straight to the exact fp64 path and may
+            # succeed there — escalate them instead of keeping the error
+            for i in gidx:
+                if (i not in still and outputs[i] is not None
+                        and outputs[i].error is not None):
+                    outputs[i] = None
+                    still.append(i)
         if still:
             print(f"ntc wide-cap rung: {len(still)}/{len(idxs)} reads "
                   "still overflow; falling to exact fp64", file=sys.stderr)
@@ -767,6 +761,17 @@ class NTCBatchEngine:
         if not self.fallback:
             return BatchOutput(
                 it, None, math.nan, "candidate cap overflow (no fallback)"
+            )
+        # native big-K mode: the dense per-read path allocates ~4 T*K fp64
+        # matrices (~70 GB at T=16k, K=4^9, like the reference) — refuse
+        # instead of OOMing when the read is long; short reads (tests,
+        # tiny amplicons) still take it
+        K = self.model.num_kmers
+        if (len(it.signal) + 1) * K * 8 > 2**31:
+            return BatchOutput(
+                it, None, math.nan,
+                "candidate cap overflow (read too long for the exact "
+                f"fp64 path at K={K}; retry with larger caps)",
             )
         from dynamont_tpu.models.ntc import (
             NTCPreprocessError, NTCZError, run_ntc,

@@ -92,7 +92,7 @@ def select_topk(U, cap: int, ge_break: bool, col_live, sentinel: int):
     W = U.shape[-1]
     if cap <= 16:
         vals, idx = _topk_maxmask(U, cap)
-    elif W >= 32768 and cap <= 128 and W % 128 == 0:
+    elif W >= 32768 and cap * 128 <= W and W % 128 == 0:
         # big-K (native 9-mer, W = 4^9): exact two-stage top-cap — block
         # maxima, top-cap BLOCKS, then an exact top_k over the <=cap*128
         # gathered lanes. Every global top-cap element lives in a

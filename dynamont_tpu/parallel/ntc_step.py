@@ -165,14 +165,10 @@ def make_ntc_sharded_train_step(mesh: Mesh, model: PoreModel, pore: str,
     log_ppm, log_ppe = math.log(nt["m1"]), math.log(nt["e2"])
     dtype = jnp.float32
     A, S, K = model.alphabet_size, model.kmer_size, model.num_kmers
-    mu = jnp.asarray(model.means, dtype)
-    sd = jnp.asarray(model.stdevs, dtype)
-    means_np, c1_np, c2_np = model.score_params()
-    c1 = jnp.asarray(c1_np, dtype)
-    c2 = jnp.asarray(c2_np, dtype)
+    tab0 = _model_tables(model)
     tl0 = jnp.asarray([math.log(ntk[k]) for k in TL_KEYS], dtype)
 
-    def shard_fn(sig, kid, T_r, N_r, real, tl_arr):
+    def shard_fn(sig, kid, T_r, N_r, real, tl_arr, mu, sd, c1, c2):
         res = ntc_train_bucket_program(
             sig, kid, T_r, N_r, mu, sd, c1, c2, tl_arr,
             A=A, S=S, K=K, log_ppm=log_ppm, log_ppe=log_ppe,
@@ -219,7 +215,8 @@ def make_ntc_sharded_train_step(mesh: Mesh, model: PoreModel, pore: str,
     sharded = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(),
+                  P(), P(), P(), P()),
         out_specs=dict(
             ok=P(axis), Zf=P(axis), Zb=P(axis),
             term_lse=P(None, axis), em=P(axis),
@@ -229,14 +226,29 @@ def make_ntc_sharded_train_step(mesh: Mesh, model: PoreModel, pore: str,
     )
     jitted = jax.jit(sharded)
 
-    def step(shard: NTCShard, tl_overrides: dict | None = None):
+    def step(shard: NTCShard, tl_overrides: dict | None = None,
+             model_now: PoreModel | None = None):
+        """model_now: CURRENT emission tables (traced arguments, so the
+        per-batch Baum-Welch updates reach the device program without
+        recompiling — baking them into the closure would silently train
+        every later batch against the FIRST batch's parameters)."""
         tl = tl0
         if tl_overrides is not None:
             tl = jnp.asarray(
                 [math.log(tl_overrides[k]) for k in TL_KEYS], dtype)
-        return jitted(shard.sig, shard.kid, shard.T, shard.N, shard.real, tl)
+        tabs = tab0 if model_now is None else _model_tables(model_now)
+        return jitted(shard.sig, shard.kid, shard.T, shard.N, shard.real,
+                      tl, *tabs)
 
     return step
+
+
+def _model_tables(model: PoreModel):
+    dtype = jnp.float32
+    mu = jnp.asarray(model.means, dtype)
+    sd = jnp.asarray(model.stdevs, dtype)
+    _, c1_np, c2_np = model.score_params()
+    return (mu, sd, jnp.asarray(c1_np, dtype), jnp.asarray(c2_np, dtype))
 
 
 def pool_ntc_params(pooled: NTCPooled):

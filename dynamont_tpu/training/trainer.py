@@ -340,29 +340,38 @@ class Trainer:
             self._ntc_mesh = make_mesh(len(jax.devices()))
             self._ntc_step = make_ntc_sharded_train_step(
                 self._ntc_mesh, model, self.pore)
-        shard = prepare_ntc_shard(
-            [(j.signal, j.read) for j in jobs], model, self._ntc_mesh)
-        res = self._ntc_step(shard, tl_overrides={
+        tl = {
             k: self.transition_params[k]
             for k in ("a1", "a2", "p1", "p2", "p3", "s1", "s2", "s3",
                       "e2", "e3", "e4", "i1", "i2")
-        })
-        ok = np.asarray(res["ok"])
-        term_lse = np.asarray(res["term_lse"])
-        em = np.asarray(res["em"])
-        Zf = np.asarray(res["Zf"], np.float64)
+        }
+        # one shard_map step holds n_devices*16 read slots; larger batches
+        # run as successive steps (the single-device engine path buckets
+        # the same way)
+        slots = self._ntc_mesh.devices.size * 16
         out = []
-        for i, j in enumerate(jobs):
-            if not ok[i]:
-                # cap overflow / Z gate: exact per-read fp64 fallback
-                try:
-                    out.append(self._train_read(j))
-                except Exception as e:
-                    out.append(e)
-                continue
-            trans = trans_from_terms(term_lse[:, i])
-            emis = emissions_from_moments(em[i], model)
-            out.append((trans, emis, float(Zf[i])))
+        for lo in range(0, len(jobs), slots):
+            part = jobs[lo:lo + slots]
+            shard = prepare_ntc_shard(
+                [(j.signal, j.read) for j in part], model, self._ntc_mesh)
+            # model_now: CURRENT emission tables every batch (the step
+            # would otherwise train against the build-time tables)
+            res = self._ntc_step(shard, tl_overrides=tl, model_now=model)
+            ok = np.asarray(res["ok"])
+            term_lse = np.asarray(res["term_lse"])
+            em = np.asarray(res["em"])
+            Zf = np.asarray(res["Zf"], np.float64)
+            for i, j in enumerate(part):
+                if not ok[i]:
+                    # cap overflow / Z gate: exact per-read fp64 fallback
+                    try:
+                        out.append(self._train_read(j))
+                    except Exception as e:
+                        out.append(e)
+                    continue
+                trans = trans_from_terms(term_lse[:, i])
+                emis = emissions_from_moments(em[i], model)
+                out.append((trans, emis, float(Zf[i])))
         return out
 
     def _train_read(self, job):

@@ -108,3 +108,33 @@ def test_sharded_ntc_train_matches_single_device(model):
         rtol=1e-5, atol=1e-5)
     params = pool_ntc_params(pooled)
     assert math.isclose(params["e1"], 1.0)
+
+
+@pytest.mark.slow
+def test_sharded_ntc_step_uses_current_tables(model):
+    """step(model_now=...) must compute with the PASSED emission tables:
+    the trainer updates k-mer models every batch, and a step that baked
+    the build-time tables into its closure would silently train every
+    later batch against the first batch's parameters."""
+    items = [(make_read(model, n_bases=12, seed=77)[0][:100],
+              make_read(model, n_bases=12, seed=77)[1])]
+    mesh = make_mesh(1)
+    shard = prepare_ntc_shard(items, model, mesh, t_pad_to=128)
+    step = make_ntc_sharded_train_step(mesh, model, "rna002",
+                                       interpret=True)
+    base = step(shard)
+    from dynamont_tpu.utils.pore_model import PoreModel
+
+    shifted = PoreModel(
+        means=np.asarray(model.means) + 0.25,
+        stdevs=np.asarray(model.stdevs).copy(),
+        alphabet_size=model.alphabet_size, kmer_size=model.kmer_size,
+        rna=model.rna,
+    )
+    moved = step(shard, model_now=shifted)
+    assert not np.allclose(np.asarray(base["Zf"])[0],
+                           np.asarray(moved["Zf"])[0])
+    # and passing the ORIGINAL model reproduces the default exactly
+    same = step(shard, model_now=model)
+    np.testing.assert_array_equal(np.asarray(base["Zf"]),
+                                  np.asarray(same["Zf"]))
