@@ -274,3 +274,25 @@ def test_select_topk_bigk_block_merge_matches_oracle():
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(inc.sum(1)))
     np.testing.assert_array_equal(
         np.asarray(o1), np.asarray(live & ~crossed[:, -1]))
+
+
+@pytest.mark.slow
+def test_wide_rung_z_failure_escalates_to_exact(model, reads, exact,
+                                                monkeypatch):
+    """A wide-rung Z-gate failure must NOT be terminal: the read goes on
+    to the exact fp64 path (which the pre-rung ladder used directly)."""
+    eng = _engine(model, jnp.float64, cap_n=2, cap_k=2)
+    orig = NTCBatchEngine._z_errors
+
+    def fake(self, host, j, T, N, K):
+        if self.cap_n >= 16:  # only inside the wide rung's cap swap
+            return "Z values between matrices do not match! (forced)"
+        return orig(self, host, j, T, N, K)
+
+    monkeypatch.setattr(NTCBatchEngine, "_z_errors", fake)
+    sig, read = reads[0]
+    outs = eng.run([BatchItem(sig, read)])
+    assert eng.profile["wide_retries"] == 1
+    assert eng.profile["exact_retries"] == 1
+    assert outs[0].error is None
+    assert outs[0].segments == exact[0].segments
