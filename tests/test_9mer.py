@@ -193,3 +193,24 @@ def test_ntc_engine_native_9mer_matches_reference(model9_rna):
         assert g[4] == r[4], "polish column must be the native 9-mer"
         n_med += 0 if abs(g[3] - r[3]) < 1e-4 else 1
     assert n_med <= max(1, len(ref) // 10), n_med
+
+
+def test_native_9mer_exact_path_refuses_long_reads(model9_rna):
+    """The per-read fp64 fallback at K=4^9 would allocate ~4 T*K fp64
+    matrices (~70 GB at production T, like the reference); the engine
+    must refuse with a clear error instead of OOMing."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynamont_tpu.models.batch import BatchItem
+    from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+
+    model, _ = model9_rna
+    eng = NTCBatchEngine(model, "rna004", dtype=jnp.float32,
+                         native_kmer=True)
+    sig = np.zeros(4096)  # (T+1)*K*8 ~ 8.6 GB > the 2 GiB guard
+    out = eng._run_exact(BatchItem(sig, "A" * 500))
+    assert out.error is not None and "too long" in out.error
+    # guard boundary: reads under ~1k samples at K=4^9 stay eligible for
+    # the exact path (the small-N parity tests depend on that)
+    assert (1000 + 1) * model.num_kmers * 8 < 2**31
