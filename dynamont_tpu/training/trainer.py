@@ -277,10 +277,15 @@ class Trainer:
 
         m1 = self.transition_params["m1"]
         e2 = self.transition_params["e2"]
+        # the fast path's Mosaic kernels are fp32/int32-designed; tracing
+        # them under jax_enable_x64 (which cli/train.py sets for the fp64
+        # parity paths) recurses inside JAX's dtype conversion on TPU —
+        # trace with x64 off (all inputs are explicitly fp32/int32)
         if jax.device_count() == 1:
-            return banded_batch_train_fast(
-                batch, math.log(m1), math.log(e2),
-                jnp.asarray(kid_pad), model.num_kmers)
+            with jax.enable_x64(False):
+                return banded_batch_train_fast(
+                    batch, math.log(m1), math.log(e2),
+                    jnp.asarray(kid_pad), model.num_kmers)
 
         from dynamont_tpu.parallel import make_mesh, make_sharded_train_step
         from dynamont_tpu.parallel.train_step import shard_batch_for_mesh
@@ -296,7 +301,8 @@ class Trainer:
                 self._mesh, m1, e2, model.num_kmers,
                 pad=sbatch.pad, B=sbatch.B, dtype=jnp.float32)
             self._sharded_steps[key] = step
-        return step(sbatch, skid, m1_cur=m1, e2_cur=e2).per_read
+        with jax.enable_x64(False):
+            return step(sbatch, skid, m1_cur=m1, e2_cur=e2).per_read
 
     def _train_batch_ntc(self, jobs: list) -> list:
         """All reads of a batch through the batched NTC Baum-Welch
@@ -392,6 +398,51 @@ class Trainer:
         )
         return res.trained_transitions, res.trained_emissions, res.Z
 
+    def _post_z(self, jobs: list, epoch: int) -> np.ndarray:
+        """Post-update Z for the batch (the reference re-runs every read
+        with --calcZ, train.py:248-257). On the batched fast paths Z is a
+        byproduct of ONE more batched pass under the UPDATED parameters
+        (~0.25-0.7 s) — the per-read fp64 loop costs seconds (banded) to
+        ~40 s (NTC) per read and stays only as the parity/CPU oracle and
+        the per-read fallback."""
+        import jax
+
+        post_z = np.zeros(len(jobs))
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        batched = (
+            (self.mode == "basic" and self.precision == "fp32")
+            or (self.mode != "basic" and on_tpu)
+        )
+        if batched:
+            try:
+                results = (self._train_batch_basic(jobs)
+                           if self.mode == "basic"
+                           else self._train_batch_ntc(jobs))
+                for j, r in enumerate(results):
+                    if isinstance(r, Exception):
+                        # same semantics as the per-read loop: Z stays 0
+                        print(
+                            f"No segmentation calculated for "
+                            f"{jobs[j].readid} in {epoch} calcZ: {r}",
+                            file=sys.stderr,
+                        )
+                        continue
+                    post_z[j] = r[2]
+                return post_z
+            except Exception as e:
+                print(f"batched calcZ failed, per-read fallback: {e}",
+                      file=sys.stderr)
+        for j, job in enumerate(jobs):
+            try:
+                post_z[j] = self._calc_z(job)
+            except Exception as e:
+                print(
+                    f"No segmentation calculated for {job.readid} in "
+                    f"{epoch} calcZ: {e}",
+                    file=sys.stderr,
+                )
+        return post_z
+
     def _calc_z(self, job):
         model = pore_model_from_dict(self.kmer_models, self.rna)
         if self.mode == "basic":
@@ -480,15 +531,7 @@ class Trainer:
         write_kmer_models(self.ckpt_path, self.kmer_models)
         self.params_csv.flush()
 
-        post_z = np.zeros(len(jobs))
-        for j, job in enumerate(jobs):
-            try:
-                post_z[j] = self._calc_z(job)
-            except Exception as e:
-                print(
-                    f"No segmentation calculated for {job.readid} in {epoch} calcZ: {e}",
-                    file=sys.stderr,
-                )
+        post_z = self._post_z(jobs, epoch)
         dz = post_z - pre_z
         print(f"Z changes: {dz}", file=sys.stderr)
         delta = float(np.mean(dz))
