@@ -181,7 +181,15 @@ class BandedBatchEngine:
             [it.signal for it in its], kmer_ids, band=self.band,
             t_pad_to=self.t_pad_to, device=dev,
         )
-        res = self._dev_run(wire, device=dev)
+        import jax
+
+        if jnp.dtype(self.dtype) == jnp.float32:
+            # fp32 Mosaic programs trace with x64 off regardless of the
+            # caller's config (see models/ntc_batch.make_ntc_batch_fn)
+            with jax.enable_x64(False):
+                res = self._dev_run(wire, device=dev)
+        else:
+            res = self._dev_run(wire, device=dev)
         db = self.profile["device_buckets"]
         db[str(dev.id)] = db.get(str(dev.id), 0) + 1
         return its, gidx, wire, res

@@ -55,6 +55,16 @@ def run_ntc(
     dtype=jnp.float64,
     validate: bool = True,
 ) -> NTCResult:
+    import jax
+
+    if jnp.dtype(dtype) == jnp.float64 and not jax.config.jax_enable_x64:
+        # callers without jax_enable_x64 (e.g. the resquiggle CLI's
+        # overflow fallback) would otherwise get a SILENT downcast of
+        # every f64 array to f32 — enable it for this trace so "exact
+        # fp64" means what it says
+        with jax.enable_x64(True):
+            return run_ntc(signal, read, model, pore, transition_overrides,
+                           mode, dtype, validate)
     if validate:
         _validate(len(signal), len(read), model.kmer_size)
     ntk = resolve_transitions(NTK_TRANSITIONS[pore], transition_overrides)

@@ -159,6 +159,16 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             table_cache[device] = tuple(
                 jax.device_put(t, device) for t in tables_host)
         means_t, sd_t, c1_t, c2_t = table_cache[device]
+        if jnp.dtype(dtype) == jnp.float32:
+            # fp32 programs trace with x64 OFF regardless of caller
+            # config: tracing them under jax_enable_x64 (which the train
+            # CLI / fp64 parity paths turn on) recurses inside JAX's
+            # dtype conversion on TPU, and production segmentation never
+            # runs with x64 anyway — one trace-time config everywhere
+            with jax.enable_x64(False):
+                return run(sig, kmer_ids, T_r, N_r, means_t, sd_t, c1_t,
+                           c2_t, CN=CN, CK0=CK0, S_max=S_max,
+                           use_pallas=use_pallas, interpret=interpret)
         return run(sig, kmer_ids, T_r, N_r, means_t, sd_t, c1_t, c2_t,
                    CN=CN, CK0=CK0, S_max=S_max, use_pallas=use_pallas,
                    interpret=interpret)
@@ -260,8 +270,10 @@ def make_ntc_train_fn(model: PoreModel, pore: str,
             table_cache[device] = tuple(
                 jax.device_put(t, device) for t in tables_host)
         means_t, sd_t, c1_t, c2_t, tl_arr = table_cache[device]
-        return run(sig, kmer_ids, T_r, N_r, means_t, sd_t, c1_t, c2_t,
-                   tl_arr, CN=CN, CK0=CK0, interpret=interpret)
+        # fp32 Mosaic program: trace with x64 off (see make_ntc_batch_fn)
+        with jax.enable_x64(False):
+            return run(sig, kmer_ids, T_r, N_r, means_t, sd_t, c1_t, c2_t,
+                       tl_arr, CN=CN, CK0=CK0, interpret=interpret)
 
     return call
 
