@@ -147,40 +147,12 @@ def _emit(writer, job, segments, model, rna, summaries=None):
 def _run_basic(args, model, jobs, writer, rna):
     import jax.numpy as jnp
 
-    from dynamont_tpu.models.batch import BandedBatchEngine, BatchItem
+    from dynamont_tpu.models.batch import BandedBatchEngine
 
     eng = BandedBatchEngine(
         model, args.pore, dtype=jnp.float32, batch_size=args.batch_size,
     )
-    # stream in chunks of a few buckets to bound memory; larger chunks
-    # measured NO throughput gain (the engine's dispatch wave already
-    # overlaps device work within a chunk, and deeper device queues
-    # behaved worse on the tunnel-attached chip)
-    chunk: list = []
-    CHUNK = args.batch_size * 4
-
-    def flush():
-        if not chunk:
-            return
-        outs = eng.run([BatchItem(j.signal, j.read, j) for j in chunk])
-        for o in outs:
-            job = o.item.meta
-            if o.error is not None:
-                writer.put_error(
-                    f"error: 3, {o.error}\tT: {len(job.signal)}\tN: {len(job.read)}"
-                    f"\tRid: {job.readid}\tSid: {job.signalid}"
-                )
-            else:
-                _emit(writer, job, o.segments, model, rna,
-                      summaries=o.summaries)
-        chunk.clear()
-
-    for job in jobs:
-        chunk.append(job)
-        if len(chunk) >= CHUNK:
-            flush()
-    flush()
-    _print_profile(args, eng)
+    _pump_engine(args, eng, jobs, writer, rna, model, err_prefix="error: 3, ")
 
 
 def _run_resquiggle(args, model, jobs, writer, rna):
@@ -189,37 +161,108 @@ def _run_resquiggle(args, model, jobs, writer, rna):
     engine (models/ntc_batch)."""
     import jax.numpy as jnp
 
-    from dynamont_tpu.models.batch import BatchItem
     from dynamont_tpu.models.ntc_batch import NTCBatchEngine
 
     eng = NTCBatchEngine(
         model, args.pore, dtype=jnp.float32, batch_size=args.batch_size,
         native_kmer=args.ntc_native_9mer,
     )
+    _pump_engine(args, eng, jobs, writer, rna, model, err_prefix="error: ")
+
+
+def _dump_failed_input(job) -> str:
+    """Repro dump for a read that crashed the engine: the reference stdin
+    format (signal csv line + read line), like the reference's training
+    repro dump (ref: FileIO.py:281-283). Returns the dump path."""
+    path = f"failed_input_{job.readid}.txt"
+    with open(path, "w") as fh:
+        fh.write(",".join(repr(float(v)) for v in job.signal))
+        fh.write("\n")
+        fh.write(job.read)
+        fh.write("\n")
+    return path
+
+
+def _pump_engine(args, eng, jobs, writer, rna, model, err_prefix: str):
+    """Stream jobs through the engine with a rolling dispatch window:
+    chunk i+1 is dispatched BEFORE chunk i is collected, so the device
+    pipeline never drains between chunks (the reference's pipeline never
+    idles between reads either, ref: segment.py:292-317). Live progress —
+    a tqdm bar with reads/s and an error-count postfix, ref:
+    segment.py:89-107 — is owned by the SegmentationWriter thread."""
+    from collections import deque
+
+    from dynamont_tpu.models.batch import BatchItem
+
     chunk: list = []
     CHUNK = args.batch_size * 4
+    # rolling window: up to INFLIGHT chunks dispatched ahead of collection
+    # (queued launches hold only their input/output buffers — the DP
+    # working set is per-launch — so the HBM cost of depth 2 is small)
+    INFLIGHT = 2
+    window: deque = deque()
 
-    def flush():
-        if not chunk:
-            return
-        outs = eng.run([BatchItem(j.signal, j.read, j) for j in chunk])
+    def emit(outs):
         for o in outs:
             job = o.item.meta
             if o.error is not None:
                 writer.put_error(
-                    f"error: {o.error}\tT: {len(job.signal)}"
-                    f"\tN: {len(job.read)}\tRid: {job.readid}\tSid: {job.signalid}"
+                    f"{err_prefix}{o.error}\tT: {len(job.signal)}"
+                    f"\tN: {len(job.read)}\tRid: {job.readid}"
+                    f"\tSid: {job.signalid}"
                 )
             else:
                 _emit(writer, job, o.segments, model, rna,
                       summaries=o.summaries)
-        chunk.clear()
+
+    def isolate(part):
+        """Re-run each read of a crashed chunk singly so one pathological
+        read cannot take down its neighbours; a read that still crashes
+        the engine gets a repro dump (reference stdin format) + a sidecar
+        error line."""
+        for job in part:
+            try:
+                emit(eng.run([BatchItem(job.signal, job.read, job)]))
+            except Exception as e:
+                path = _dump_failed_input(job)
+                writer.put_error(
+                    f"error: engine exception, {e}\tT: {len(job.signal)}"
+                    f"\tN: {len(job.read)}\tRid: {job.readid}"
+                    f"\tSid: {job.signalid}\tdump: {path}"
+                )
+
+    def collect_safe(handle, part):
+        try:
+            emit(eng.collect(handle))
+        except Exception as e:  # unexpected engine failure
+            print(f"engine exception on a {len(part)}-read chunk: {e}; "
+                  "isolating per read", file=sys.stderr)
+            isolate(part)
+
+    def submit():
+        nonlocal chunk
+        part = chunk
+        chunk = []
+        try:
+            handle = eng.dispatch(
+                [BatchItem(j.signal, j.read, j) for j in part])
+        except Exception as e:
+            print(f"engine dispatch exception on a {len(part)}-read chunk:"
+                  f" {e}; isolating per read", file=sys.stderr)
+            isolate(part)
+            return
+        window.append((handle, part))
+        if len(window) > INFLIGHT:
+            collect_safe(*window.popleft())
 
     for job in jobs:
         chunk.append(job)
         if len(chunk) >= CHUNK:
-            flush()
-    flush()
+            submit()
+    if chunk:
+        submit()
+    while window:
+        collect_safe(*window.popleft())
     _print_profile(args, eng)
 
 

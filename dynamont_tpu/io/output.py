@@ -122,8 +122,10 @@ class SegmentationWriter:
         try:
             from tqdm import tqdm
 
+            # live bar: reads/s from tqdm's rate, error count as postfix
+            # (ref: segment.py:89-107)
             pbar = tqdm(desc="Segmented", unit=" reads", dynamic_ncols=False,
-                        mininterval=10, file=sys.stderr)  # ref: segment.py:89-95
+                        mininterval=0.5, file=sys.stderr)
         except ImportError:
             pbar = None
         mode = "ab" if self._append else "wb"

@@ -73,6 +73,7 @@ class BandedBatchEngine:
         device_pipeline: bool = True,
         hampel_on_device: bool = False,
         devices: list | None = None,
+        fp64_fallback: bool = True,
     ):
         self.model = model
         self.pore = pore
@@ -84,6 +85,7 @@ class BandedBatchEngine:
         self.max_batch_samples = max_batch_samples
         self.t_pad_to = t_pad_to
         self.device_pipeline = device_pipeline
+        self.fp64_fallback = fp64_fallback
         # every local accelerator by default: buckets round-robin across
         # the chips of one host in a single process (the reference scales
         # over reads with mp.Pool, ref: segment.py:292-317; here the
@@ -125,7 +127,16 @@ class BandedBatchEngine:
             yield group
 
     # -- execution ---------------------------------------------------------
-    def run(self, items: list[BatchItem]) -> list[BatchOutput]:
+    def dispatch(self, items: list[BatchItem]):
+        """Phase 1: validate + asynchronously dispatch every bucket (JAX
+        async dispatch overlaps H2D/compute/D2H across buckets) and
+        pre-issue the D2H wave. Returns a handle for collect(). Splitting
+        the phases lets the CLI keep several chunks in flight (dispatch
+        chunk i+1 while collecting chunk i) so the device never idles
+        between chunks (ref: the reference pipeline never idles between
+        reads, segment.py:292-317)."""
+        import time
+
         outputs: list[BatchOutput | None] = [None] * len(items)
         valid: list[int] = []
         for i, it in enumerate(items):
@@ -134,16 +145,13 @@ class BandedBatchEngine:
                 outputs[i] = BatchOutput(it, None, math.nan, err)
             else:
                 valid.append(i)
+        pending = []
+        t0 = time.perf_counter()
         if self.device_pipeline:
-            # phase 1: dispatch every bucket (async); phase 2: collect —
-            # JAX async dispatch overlaps H2D/compute/D2H across buckets
-            import time
-
-            t0 = time.perf_counter()
-            pending = []
             for group in self._buckets([items[i] for i in valid]):
                 gidx = [valid[g] for g in group]
-                pending.append(self._dispatch_bucket([items[i] for i in gidx], gidx))
+                pending.append(
+                    self._dispatch_bucket([items[i] for i in gidx], gidx))
             # pre-issue EVERY bucket's D2H as one async wave: each
             # synchronous np.asarray in collect costs a full tunnel/PCIe
             # round-trip (~50 ms on the axon link — 0.8 s of an 0.9 s run
@@ -156,19 +164,29 @@ class BandedBatchEngine:
                         arr.copy_to_host_async()
                     except AttributeError:
                         break
-            t1 = time.perf_counter()
+        self.profile["dispatch_s"] += time.perf_counter() - t0
+        return items, outputs, valid, pending
+
+    def collect(self, handle) -> list[BatchOutput]:
+        """Phase 2: wait for the handle's buckets and build outputs."""
+        import time
+
+        items, outputs, valid, pending = handle
+        t1 = time.perf_counter()
+        if self.device_pipeline:
             for bucket in pending:
                 self._collect_bucket(bucket, outputs)
-            t2 = time.perf_counter()
             self.profile["buckets"] += len(pending)
-            self.profile["dispatch_s"] += t1 - t0
-            self.profile["collect_s"] += t2 - t1
+            self.profile["collect_s"] += time.perf_counter() - t1
             self.profile["reads"] += len(valid)
         else:
             for group in self._buckets([items[i] for i in valid]):
                 gidx = [valid[g] for g in group]
                 self._run_bucket([items[i] for i in gidx], gidx, outputs)
         return outputs  # type: ignore[return-value]
+
+    def run(self, items: list[BatchItem]) -> list[BatchOutput]:
+        return self.collect(self.dispatch(items))
 
     def _dispatch_bucket(self, its: list[BatchItem], gidx):
         kmer_ids = [
@@ -205,10 +223,8 @@ class BandedBatchEngine:
         ok = bb.check_z_batch(Zf, Zb, T, wire.B, self.dtype)
         for j, out_i in enumerate(gidx):
             if not ok[j]:
-                outputs[out_i] = BatchOutput(
-                    its[j], None, float(Zb[j]),
-                    f"Z values between matrices do not match! Zf: {Zf[j]}, Zb: {Zb[j]}",
-                )
+                outputs[out_i] = self._z_fail(its[j], float(Zf[j]),
+                                              float(Zb[j]))
             else:
                 outputs[out_i] = BatchOutput(
                     its[j], None, float(Zb[j]),
@@ -246,9 +262,32 @@ class BandedBatchEngine:
         )
         for j, out_i in enumerate(gidx):
             if not ok[j]:
-                outputs[out_i] = BatchOutput(
-                    its[j], None, float(Zb[j]),
-                    f"Z values between matrices do not match! Zf: {Zf[j]}, Zb: {Zb[j]}",
-                )
+                outputs[out_i] = self._z_fail(its[j], float(Zf[j]),
+                                              float(Zb[j]))
             else:
                 outputs[out_i] = BatchOutput(its[j], seg_lists[j], float(Zb[j]))
+
+    def _z_fail(self, it: BatchItem, zf: float, zb: float) -> BatchOutput:
+        """Z-gate failure handling. fp64 gate failures are terminal — the
+        reference's exit-3 contract (NT_banded_main.cpp:156-183). A read
+        that only fails the batched fp32 gate (FP32_EPSILON) is usually
+        fp32 round-off, not a real inconsistency: escalate it to the
+        exact per-read fp64 path (mirrors the NTC overflow/Z ladder)
+        instead of losing it to the error sidecar."""
+        err = (f"Z values between matrices do not match! "
+               f"Zf: {zf}, Zb: {zb}")
+        if jnp.dtype(self.dtype) == jnp.float32 and self.fp64_fallback:
+            self.profile["z_retries"] = self.profile.get("z_retries", 0) + 1
+            from dynamont_tpu.models.nt import ZConsistencyError
+            from dynamont_tpu.models.nt_banded import run_nt_banded
+
+            try:
+                res = run_nt_banded(
+                    it.signal, it.read, self.model, self.pore,
+                    {"m1": self.m1, "e2": self.e2}, band=self.band,
+                    dtype=jnp.float64, validate=False,
+                )
+                return BatchOutput(it, res.segments, res.Z)
+            except ZConsistencyError as e:
+                return BatchOutput(it, None, zb, str(e))
+        return BatchOutput(it, None, zb, err)

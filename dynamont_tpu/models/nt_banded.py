@@ -31,6 +31,17 @@ def run_nt_banded(
     dtype=jnp.float64,
     validate: bool = True,
 ) -> NTResult:
+    import jax
+
+    if jnp.dtype(dtype) == jnp.float64 and not jax.config.jax_enable_x64:
+        # callers without jax_enable_x64 (e.g. the batch engine's fp32
+        # Z-gate escalation) would otherwise get a SILENT downcast of
+        # every f64 array to f32 — enable it for this trace so "exact
+        # fp64" means what it says (mirrors models/ntc.run_ntc)
+        with jax.enable_x64(True):
+            return run_nt_banded(signal, read, model, pore,
+                                 transition_overrides, mode, want_prob,
+                                 band, dtype, validate)
     trans = resolve_transitions(NT_TRANSITIONS[pore], transition_overrides)
     if validate:
         _validate(len(signal), len(read), model.kmer_size)

@@ -450,7 +450,13 @@ class NTCBatchEngine:
             yield group
 
     # -- execution ---------------------------------------------------------
-    def run(self, items: list[BatchItem]) -> list[BatchOutput]:
+    def dispatch(self, items: list[BatchItem]):
+        """Phase 1: validate + asynchronously dispatch every bucket and
+        pre-issue the D2H wave; returns a handle for collect(). The split
+        lets the CLI keep several chunks in flight (see
+        models/batch.BandedBatchEngine.dispatch)."""
+        import time
+
         outputs: list[BatchOutput | None] = [None] * len(items)
         valid: list[int] = []
         for i, it in enumerate(items):
@@ -463,8 +469,6 @@ class NTCBatchEngine:
                 )
                 continue
             valid.append(i)
-
-        import time
 
         t0 = time.perf_counter()
         pending = [
@@ -479,6 +483,15 @@ class NTCBatchEngine:
                     arr.copy_to_host_async()
                 except AttributeError:
                     break
+        self.profile["dispatch_s"] += time.perf_counter() - t0
+        return items, outputs, valid, pending
+
+    def collect(self, handle) -> list[BatchOutput]:
+        """Phase 2: wait for the handle's buckets, build outputs, and run
+        the overflow escalation ladder on any reads that need it."""
+        import time
+
+        items, outputs, valid, pending = handle
         t1 = time.perf_counter()
         retry: list[int] = []
         for bucket in pending:
@@ -494,7 +507,6 @@ class NTCBatchEngine:
             outputs[i] = self._run_exact(items[i])
         self.profile["buckets"] += len(pending)
         self.profile["reads"] += len(valid)
-        self.profile["dispatch_s"] += t1 - t0
         self.profile["collect_s"] += t2 - t1
         # wide_retries counts reads the RUNG actually processed; wide_s /
         # exact_s attribute the two rungs separately
@@ -506,6 +518,9 @@ class NTCBatchEngine:
             self.profile.get("wide_s", 0.0) + (t3 - t2 if use_wide else 0.0))
         self.profile["exact_s"] += time.perf_counter() - t3
         return outputs  # type: ignore[return-value]
+
+    def run(self, items: list[BatchItem]) -> list[BatchOutput]:
+        return self.collect(self.dispatch(items))
 
     def _pad_bucket(self, gidx, items, r_pad: int | None = None):
         """Pack a bucket; r_pad forces the read-axis width (extra rows
@@ -558,7 +573,11 @@ class NTCBatchEngine:
         )
         return gidx, T_arr, N_arr, res
 
-    def _collect(self, bucket, items, outputs) -> list[int]:
+    def _collect(self, bucket, items, outputs,
+                 caps: tuple[int, int] | None = None) -> list[int]:
+        """caps: effective (cap_n, cap_k) of the program that produced
+        `res` — the wide retry rung runs at doubled caps, and the Z-gate
+        cell count must reflect them; defaults to the engine caps."""
         gidx, T_arr, N_arr, res = bucket
         host = {k: np.asarray(v) for k, v in res.items()}
         K = self.model.num_kmers
@@ -577,7 +596,7 @@ class NTCBatchEngine:
                           file=sys.stderr)
                 retry.append(i)
                 continue
-            err = self._z_errors(host, j, T, N, K)
+            err = self._z_errors(host, j, T, N, K, caps=caps)
             if err is not None:
                 outputs[i] = BatchOutput(it, None, float(host["Zf"][j]), err)
                 continue
@@ -586,11 +605,13 @@ class NTCBatchEngine:
             outputs[i] = BatchOutput(it, segs, float(host["Zf"][j]))
         return retry
 
-    def _z_errors(self, host, j, T, N, K):
+    def _z_errors(self, host, j, T, N, K,
+                  caps: tuple[int, int] | None = None):
         # "matrices" uses the SPARSE lattice size actually evaluated
         # (T x 5 states x CN x CK slots): T*N*K would make the per-cell
         # tolerance admit 1000+ nats of fwd/bwd divergence at T=16k
-        cells3 = T * 5 * self.cap_n * (self.cap_k + self.cap_n)
+        cap_n, cap_k = caps if caps is not None else (self.cap_n, self.cap_k)
+        cells3 = T * 5 * cap_n * (cap_k + cap_n)
         checks = (
             ("preProcTN", host["Zf_tn"][j], host["Zb_tn"][j], T * N, 1),
             ("preProcTK", host["Zf_tk"][j], host["Zb_tk"][j], T * K, 2),
@@ -747,14 +768,8 @@ class NTCBatchEngine:
                     arr.copy_to_host_async()
                 except AttributeError:
                     break
-            saved_n, saved_k = self.cap_n, self.cap_k
-            try:
-                # _collect's Z-gate cell count must reflect the wide caps
-                self.cap_n, self.cap_k = wide_n, wide_k
-                still += self._collect((gidx, T_arr, N_arr, res), items,
-                                       outputs)
-            finally:
-                self.cap_n, self.cap_k = saved_n, saved_k
+            still += self._collect((gidx, T_arr, N_arr, res), items,
+                                   outputs, caps=(wide_n, wide_k))
             # a wide-rung Z-gate failure is NOT terminal: these reads
             # previously went straight to the exact fp64 path and may
             # succeed there — escalate them instead of keeping the error

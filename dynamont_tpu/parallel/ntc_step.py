@@ -71,6 +71,8 @@ def prepare_ntc_shard(items, model: PoreModel, mesh: Mesh,
     n_dev = mesh.devices.size
     R_g = n_dev * R_SHARD
     pairs = [_sig_read(it) for it in items]
+    if not pairs:
+        raise ValueError("prepare_ntc_shard: empty batch")
     if len(pairs) > R_g:
         raise ValueError(
             f"{len(pairs)} reads > {R_g} slots on the {n_dev}-device mesh")
@@ -144,7 +146,7 @@ def _emission_estimates_device(em, model_means):
 
 def make_ntc_sharded_train_step(mesh: Mesh, model: PoreModel, pore: str,
                                 transition_overrides: dict | None = None,
-                                cap_n: int = 8, cap_k: int = 120,
+                                cap_n: int = 8, cap_k: int = 112,
                                 interpret: bool | None = None):
     """Build the jitted SPMD NTC training step for the mesh.
 
@@ -237,8 +239,15 @@ def make_ntc_sharded_train_step(mesh: Mesh, model: PoreModel, pore: str,
             tl = jnp.asarray(
                 [math.log(tl_overrides[k]) for k in TL_KEYS], dtype)
         tabs = tab0 if model_now is None else _model_tables(model_now)
-        return jitted(shard.sig, shard.kid, shard.T, shard.N, shard.real,
-                      tl, *tabs)
+        # fp32 Mosaic program: trace with x64 OFF regardless of caller
+        # config — dynamont-train sets jax_enable_x64 unconditionally
+        # (cli/train.py) and tracing these kernels under x64 recurses
+        # inside JAX's dtype conversion on TPU (see
+        # models.ntc_batch.make_ntc_train_fn). The Z-gate zdt then
+        # resolves to fp32, matching the single-device gate.
+        with jax.enable_x64(False):
+            return jitted(shard.sig, shard.kid, shard.T, shard.N,
+                          shard.real, tl, *tabs)
 
     return step
 

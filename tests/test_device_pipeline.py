@@ -77,3 +77,44 @@ def test_wire_quantization_error_bound():
     dac, a, b = dv.quantize_signal(sig)
     err = np.abs(dac.astype(np.float64) * a + b - sig)
     assert err.max() < 1e-4
+
+
+def test_fp32_z_gate_escalates_to_fp64(model, monkeypatch):
+    """A read that fails the batched fp32 Z gate is NOT lost: it re-runs
+    on the exact per-read fp64 path (mirroring the NTC ladder) and yields
+    the fp64 segments. fp64 gate failures stay terminal (reference
+    exit-3 contract, NT_banded_main.cpp:156-183)."""
+    from dynamont_tpu.ops import nt_banded_batch as bb
+
+    items = _quantized_items(model, n_reads=2, base_len=50)
+    eng = BandedBatchEngine(model, "rna002", dtype=jnp.float32)
+    # force the fp32 gate to fail for every read in the bucket
+    monkeypatch.setattr(
+        bb, "check_z_batch",
+        lambda Zf, Zb, T, B, dtype: np.zeros(len(np.asarray(Zf)), bool),
+    )
+    outs = eng.run(items)
+    assert eng.profile.get("z_retries", 0) == len(items)
+    for it, out in zip(items, outs):
+        assert out.error is None, out.error
+        ref = run_nt_banded(it.signal, it.read, model, "rna002")
+        assert [(s[1], s[2]) for s in out.segments] == [
+            (s[1], s[2]) for s in ref.segments
+        ]
+        assert out.Z == pytest.approx(ref.Z, rel=1e-12)
+
+
+def test_fp32_z_gate_terminal_without_fallback(model, monkeypatch):
+    from dynamont_tpu.ops import nt_banded_batch as bb
+
+    items = _quantized_items(model, n_reads=1, base_len=50)
+    eng = BandedBatchEngine(
+        model, "rna002", dtype=jnp.float32, fp64_fallback=False
+    )
+    monkeypatch.setattr(
+        bb, "check_z_batch",
+        lambda Zf, Zb, T, B, dtype: np.zeros(len(np.asarray(Zf)), bool),
+    )
+    outs = eng.run(items)
+    assert outs[0].error is not None
+    assert "Z values between matrices" in outs[0].error
