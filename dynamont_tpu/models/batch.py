@@ -14,6 +14,7 @@ import numpy as np
 
 from dynamont_tpu.constants import NT_TRANSITIONS, resolve_transitions
 from dynamont_tpu.models.nt import _validate
+from dynamont_tpu.models.packing import pack_buckets, pad_reads_to, t_pad_ladder
 from dynamont_tpu.ops import nt_banded_batch as bb
 from dynamont_tpu.ops import nt_banded_device as dv
 from dynamont_tpu.utils.kmer import seq_to_kmer_ids
@@ -92,6 +93,15 @@ class BandedBatchEngine:
         # embarrassingly-parallel axis is bucket -> chip)
         self.devices = list(devices) if devices else jax.local_devices()
         self._next_dev = 0
+        # kernel read-group size: the Mosaic kernels process G reads per
+        # wavefront row, so bucket counts snap to multiples of G for free
+        # (the scan fallback is per-read vmapped: group 1)
+        if device_pipeline and dv.use_pallas_default() \
+                and jnp.dtype(dtype) == jnp.float32:
+            from dynamont_tpu.ops.nt_banded_pallas import G_BLOCK
+            self._group = G_BLOCK
+        else:
+            self._group = 1
         # wall-clock accounting across run() calls: dispatch = host prep +
         # async submit, collect = device wait + D2H + summary decode;
         # device_buckets counts launches per device id
@@ -108,23 +118,18 @@ class BandedBatchEngine:
 
     # -- batching ----------------------------------------------------------
     def _buckets(self, items: list[BatchItem]):
-        """Group by padded T so each group hits one compiled shape; cap both
-        read count and total padded samples per launch (HBM: the posterior +
-        choice tensors are the footprint)."""
-        order = sorted(range(len(items)), key=lambda i: len(items[i].signal))
-        group: list[int] = []
-        for idx in order:
-            if group:
-                t_pad = bb.round_up(len(items[idx].signal) + 1, self.t_pad_to)
-                if (
-                    len(group) >= self.batch_size
-                    or t_pad * (len(group) + 1) > self.max_batch_samples
-                ):
-                    yield group
-                    group = []
-            group.append(idx)
-        if group:
-            yield group
+        """Pack reads into padded buckets minimizing device rows (see
+        models/packing.py): equal-pad reads group together instead of a
+        short read paying a long read's padding, and bucket read counts
+        snap to the kernel group size so the compiled-shape set stays
+        small."""
+        yield from pack_buckets(
+            [len(it.signal) for it in items],
+            batch_size=self.batch_size,
+            max_batch_samples=self.max_batch_samples,
+            t_pad_to=self.t_pad_to,
+            group=self._group,
+        )
 
     # -- execution ---------------------------------------------------------
     def dispatch(self, items: list[BatchItem]):
@@ -189,15 +194,25 @@ class BandedBatchEngine:
         return self.collect(self.dispatch(items))
 
     def _dispatch_bucket(self, its: list[BatchItem], gidx):
+        # pad the read axis up to the kernel group multiple with copies of
+        # the last read: the kernels round the read axis up internally, so
+        # the dummies cost zero extra device work but collapse the set of
+        # compiled (R, T_pad) shapes (outputs beyond len(gidx) are dropped
+        # in _collect_bucket)
+        rp = pad_reads_to(len(its), self._group)
+        wire_its = its + [its[-1]] * (rp - len(its))
         kmer_ids = [
             seq_to_kmer_ids(it.read, self.model.kmer_size, self.model.alphabet_size)
-            for it in its
+            for it in wire_its
         ]
         dev = self.devices[self._next_dev % len(self.devices)]
         self._next_dev += 1
+        t_pad = t_pad_ladder(
+            max(len(it.signal) for it in its) + 1, self.t_pad_to)
         wire = dv.prepare_wire(
-            [it.signal for it in its], kmer_ids, band=self.band,
-            t_pad_to=self.t_pad_to, device=dev,
+            [it.signal for it in wire_its], kmer_ids, band=self.band,
+            t_pad_to=self.t_pad_to, device=dev, t_pad=t_pad,
+            n_pad_to=128,
         )
         import jax
 

@@ -82,13 +82,18 @@ def prepare_wire(
     dacs: list[np.ndarray] | None = None,
     affines: list[tuple[float, float]] | None = None,
     device=None,
+    t_pad: int | None = None,
+    n_pad_to: int = 1,
 ) -> WireBatch:
     """Pack reads into the wire format. Pass either float `signals` (they are
     int16-quantized here) or raw `dacs` + per-read `affines` (a, b).
 
     `device` places the wire arrays on a specific local device (one H2D
     straight to the target; the engine round-robins buckets across
-    `jax.local_devices()`). None keeps the default-device behavior."""
+    `jax.local_devices()`). None keeps the default-device behavior.
+    `t_pad` overrides the padded length (engines pass ladder points so
+    shapes dedupe); `n_pad_to` quantizes N_max the same way — both are
+    static jit shapes, and every distinct value is a fresh compile."""
     if dacs is None:
         assert signals is not None
         enc = [quantize_signal(s) for s in signals]
@@ -101,8 +106,9 @@ def prepare_wire(
     max_bw = int(bw_arr.max())
     B = bb.round_up(2 * max_bw + 3, 128)
     pad = max_bw + 3
-    T_pad = bb.round_up(int(T_arr.max()), t_pad_to)
-    N_max = int(N_arr.max())
+    T_pad = t_pad if t_pad is not None else bb.round_up(int(T_arr.max()), t_pad_to)
+    assert T_pad >= int(T_arr.max())
+    N_max = bb.round_up(int(N_arr.max()), n_pad_to)
     n_bytes = (T_pad + 7) // 8
 
     dac_arr = np.zeros((R, T_pad - 1), dtype=np.int16)

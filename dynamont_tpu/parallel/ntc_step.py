@@ -146,9 +146,16 @@ def _emission_estimates_device(em, model_means):
 
 def make_ntc_sharded_train_step(mesh: Mesh, model: PoreModel, pore: str,
                                 transition_overrides: dict | None = None,
-                                cap_n: int = 8, cap_k: int = 112,
+                                cap_n: int = 8, cap_k: int = 120,
                                 interpret: bool | None = None):
     """Build the jitted SPMD NTC training step for the mesh.
+
+    cap defaults (8, 120) are the Mosaic kernel geometry (CK = cap_k +
+    cap_n tile-pads to exactly 128 lanes, asserted in ops/ntc_pallas) —
+    the same caps NTCBatchEngine forces on its own pallas path, so
+    single- and multi-chip training run identical candidate geometry.
+    (The engine's nominal cap_k=112 default applies only to the scan
+    path, where CK is not lane-tiled.)
 
     interpret=None auto-selects: native Mosaic on TPU, interpret mode on
     CPU meshes (the multichip dryrun). Returns step(shard, tl_overrides=None)

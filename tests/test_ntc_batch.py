@@ -284,10 +284,12 @@ def test_wide_rung_z_failure_escalates_to_exact(model, reads, exact,
     eng = _engine(model, jnp.float64, cap_n=2, cap_k=2)
     orig = NTCBatchEngine._z_errors
 
-    def fake(self, host, j, T, N, K):
-        if self.cap_n >= 16:  # only inside the wide rung's cap swap
+    def fake(self, host, j, T, N, K, caps=None):
+        # the wide rung passes its widened caps explicitly (it no longer
+        # mutates engine state); detect it by that argument
+        if caps is not None and caps[0] >= 16:
             return "Z values between matrices do not match! (forced)"
-        return orig(self, host, j, T, N, K)
+        return orig(self, host, j, T, N, K, caps=caps)
 
     monkeypatch.setattr(NTCBatchEngine, "_z_errors", fake)
     sig, read = reads[0]
