@@ -434,20 +434,22 @@ class NTCBatchEngine:
 
     # -- batching ----------------------------------------------------------
     def _buckets(self, idxs, items):
-        order = sorted(idxs, key=lambda i: len(items[i].signal))
-        group: list[int] = []
-        for idx in order:
-            if group:
-                t_pad = round_up(len(items[idx].signal) + 1, self.t_pad_to)
-                if (
-                    len(group) >= self.batch_size
-                    or t_pad * (len(group) + 1) > self.max_batch_samples
-                ):
-                    yield group
-                    group = []
-            group.append(idx)
-        if group:
-            yield group
+        """Row-optimal packing (models/packing.py): the Mosaic geometry
+        always pads the read axis to 16, so a bucket costs 16 x t_pad
+        rows no matter how full it is — group=16 makes the packer model
+        that; the scan path scales per read (group=1)."""
+        from dynamont_tpu.models.packing import pack_buckets
+
+        idxs = list(idxs)
+        buckets = pack_buckets(
+            [len(items[i].signal) for i in idxs],
+            batch_size=self.batch_size,
+            max_batch_samples=self.max_batch_samples,
+            t_pad_to=self.t_pad_to,
+            group=16 if self.pallas else 1,
+        )
+        for b in buckets:
+            yield [idxs[p] for p in b]
 
     # -- execution ---------------------------------------------------------
     def dispatch(self, items: list[BatchItem]):
@@ -541,7 +543,9 @@ class NTCBatchEngine:
             # (extra outputs are simply never collected)
             T_arr = np.concatenate([T_arr, np.repeat(T_arr[:1], R_pad - R)])
             N_arr = np.concatenate([N_arr, np.repeat(N_arr[:1], R_pad - R)])
-        T_pad = round_up(int(T_arr.max()), self.t_pad_to)
+        from dynamont_tpu.models.packing import t_pad_ladder
+
+        T_pad = t_pad_ladder(int(T_arr.max()), self.t_pad_to)
         N2 = round_up(int(N_arr.max()), self.n_pad_to)
         sig = np.zeros((R_pad, T_pad - 1), np.float32)
         kid = np.zeros((R_pad, N2 - 1), np.int32)
