@@ -44,8 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 from dynamont_tpu.ops import nt_banded_batch as bb
 
 NEG_INF = float(np.float32(-np.inf))
-G_BLOCK = 8       # reads per group (sublane dimension of the row state)
-CHUNK = 128       # fwd/bwd rows per grid step
+# Row-group geometry (TPU sweep, scripts/probe_banded_kernel_geom.py,
+# R=64 T=16k: G=8/C=128 full 339 ms, G=16/C=64 298 ms, G=32/C=32 283 ms).
+# G=16 is the production point: ~12% faster than G=8 while keeping the
+# engine's 16-read buckets padding-free (G=32 would pad them 2x); larger
+# G*C fails Mosaic compile (VMEM) at G*C > 1024.
+G_BLOCK = 16      # reads per group (sublane dimension of the row state)
+CHUNK = 64        # fwd/bwd rows per grid step
+UNROLL = 1        # fori_loop row unroll inside the kernels
 CHUNK_VIT = 32    # viterbi streams 4 in + 3 out (C, G, B) mats: keep small
 CHUNK_WALK = 64
 
@@ -165,7 +171,7 @@ def _fwd_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, C, body, 0)
+    jax.lax.fori_loop(0, C, body, 0, unroll=UNROLL)
 
 
 def _trans_lanes(log_m1, log_e2, Rp: int):
@@ -329,7 +335,7 @@ def _bwd_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
         E_out[i] = jnp.where(live, E_cmp, jnp.where(term, termE, neg))
         return 0
 
-    jax.lax.fori_loop(0, C, body, 0)
+    jax.lax.fori_loop(0, C, body, 0, unroll=UNROLL)
 
 
 def _bwd_wire(batch: bb.BandedBatch, Rp: int, Tc: int, log_m1, log_e2):
@@ -472,7 +478,7 @@ def _vit_kernel(scal_ref, rows_ref, fm_ref, fe_ref, bm_ref, be_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, C, body, 0)
+    jax.lax.fori_loop(0, C, body, 0, unroll=UNROLL)
 
 
 def _viterbi_t(fM, fE, bM, bE, Zb, batch: bb.BandedBatch,
@@ -570,6 +576,173 @@ def banded_batch_run_pallas(batch: bb.BandedBatch, log_m1, log_e2,
 
 
 # ---------------------------------------------------------------------------
+# fused forward + posterior + viterbi
+# ---------------------------------------------------------------------------
+
+def _fwd_vit_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
+                    bm_ref, be_ref, ch_out, pm_out, pe_out, zf_out,
+                    cM, cE, vM, vE, wmu, wc1, wc2, zfa, *, B, C, G):
+    """Forward recurrence + posterior + Viterbi in ONE streaming pass.
+
+    The backward pass runs first (its t=0 row yields Zb), so the forward
+    rows never need to hit HBM at all: each row's fresh M/E feeds the
+    posterior (LPM/LPE = fwd+bwd-Zb) and the Viterbi max-recurrence
+    immediately (ref: NT_banded.cpp:23-62 fwd + 139-189 Viterbi). This
+    drops one full wavefront pass and the fM/fE HBM round-trip (write 2 +
+    read 2 tensors) from the production pipeline. Zf is captured in-kernel
+    at each read's t = T-1 row (lane bw+1 of E), replacing the XLA gather
+    from the materialized fE."""
+    c = pl.program_id(1)
+    bw = scal_ref[:, 0:1]
+    N = scal_ref[:, 1:2]
+    T = scal_ref[:, 2:3]
+    log_m1 = scal_ref[:, 3:4]
+    log_e2 = scal_ref[:, 4:5]
+    zb = scal_ref[:, 5:6]
+    jf = _iota_f((1, B), 1)
+    lane128 = _iota_f((1, 128), 1)
+
+    @pl.when(c == 0)
+    def _():
+        cM[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+        cE[...] = jnp.where(jf == bw + 1.0, 0.0, NEG_INF)
+        vM[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+        vE[...] = jnp.where(jf == bw + 1.0, 0.0, NEG_INF)
+        wmu[...] = w0mu_ref[...]
+        wc1[...] = w0c1_ref[...]
+        wc2[...] = w0c2_ref[...]
+        zfa[...] = jnp.full((G, 128), NEG_INF, jnp.float32)
+
+    def clip_prob(lp):
+        p = jnp.exp(lp)
+        p = jnp.where(jnp.isnan(p), 0.0, p)
+        return jnp.clip(p, 0.0, 1.0)
+
+    def body(i, _):
+        t = c * C + i
+        tf = jnp.float32(1.0) * t
+
+        @pl.when(t == 0)
+        def _():
+            pm_out[i] = clip_prob(cM[...] + bm_ref[i] - zb)
+            pe_out[i] = clip_prob(cE[...] + be_ref[i] - zb)
+            ch_out[i] = jnp.zeros((G, B), jnp.int32)
+
+        @pl.when(t > 0)
+        def _():
+            row = rows_ref[i]
+            sig = row[:, 0:1]
+            s1 = row[:, 1:2] == 1.0
+            emu = row[:, 2:3]
+            ec1 = row[:, 3:4]
+            ec2 = row[:, 4:5]
+            bs = row[:, 5:6]
+            # forward row (identical to _fwd_kernel)
+            w_mu = jnp.where(s1, _shift_left(wmu[...], emu), wmu[...])
+            w_c1 = jnp.where(s1, _shift_left(wc1[...], ec1), wc1[...])
+            w_c2 = jnp.where(s1, _shift_left(wc2[...], ec2), wc2[...])
+            wmu[...] = w_mu
+            wc1[...] = w_c1
+            wc2[...] = w_c2
+            d = sig - w_mu
+            sc_b = w_c1 - w_c2 * d * d
+            M_prev = cM[...]
+            E_prev = cE[...]
+            E_m = jnp.where(s1, E_prev, _shift_right(E_prev, NEG_INF))
+            M_e = jnp.where(s1, _shift_left(M_prev, NEG_INF), M_prev)
+            E_e = jnp.where(s1, _shift_left(E_prev, NEG_INF), E_prev)
+            valid = _validf(jf, bs, bw, N, lower_one=True)
+            M_new = jnp.where(valid, E_m + sc_b + log_m1, NEG_INF)
+            E_new = jnp.where(
+                valid, jnp.logaddexp(M_e + sc_b, E_e + sc_b + log_e2),
+                NEG_INF)
+            cM[...] = M_new
+            cE[...] = E_new
+            # Zf capture at this read's terminal row
+            hit = tf == T - 1.0
+            e_term = jnp.sum(jnp.where(jf == bw + 1.0, E_new, 0.0),
+                             axis=1, keepdims=True)
+            zfa[...] = jnp.where(hit & (lane128 == 0.0), e_term, zfa[...])
+            # posterior + viterbi row (identical to _vit_kernel)
+            lpm = M_new + bm_ref[i] - zb
+            lpe = E_new + be_ref[i] - zb
+            pm_out[i] = clip_prob(lpm)
+            pe_out[i] = clip_prob(lpe)
+            vM_prev = vM[...]
+            vE_prev = vE[...]
+            vE_m = jnp.where(s1, vE_prev, _shift_right(vE_prev, NEG_INF))
+            vM_e = jnp.where(s1, _shift_left(vM_prev, NEG_INF), vM_prev)
+            vE_e = jnp.where(s1, _shift_left(vE_prev, NEG_INF), vE_prev)
+            vM_new = vE_m + lpm
+            vE_new = jnp.maximum(vM_e, vE_e) + lpe
+            vM_new = jnp.where(valid, vM_new, NEG_INF)
+            vE_new = jnp.where(valid, vE_new, NEG_INF)
+            ch_out[i] = (vE_new == (vM_e + lpe)).astype(jnp.int32)
+            vM[...] = vM_new
+            vE[...] = vE_new
+
+        return 0
+
+    jax.lax.fori_loop(0, C, body, 0, unroll=UNROLL)
+    zf_out[...] = zfa[...]
+
+
+def _fwd_vit_t(batch: bb.BandedBatch, bM, bE, Zb, log_m1: float,
+               log_e2: float, interpret: bool = False):
+    """T-major fused fwd+posterior+viterbi: returns (Zf, ch, PM, PE, rows)
+    with the packed forward row stream for walk reuse (s1 in lane 1)."""
+    R, Tm1 = batch.sig.shape
+    T_pad = Tm1 + 1
+    B = batch.B
+    G = G_BLOCK
+    Rp = _round_up(R, G)
+    # 5 streamed (C, G, B) tensors (bm, be in; ch, pm, pe out), double
+    # buffered: keep them ~10 MB of VMEM
+    C = max(8, min(CHUNK, 512 // G))
+    Tc_f = bM.shape[0]
+    assert Tc_f % C == 0, (Tc_f, C)
+    nc = Tc_f // C
+    rows, scal0, w0mu, w0c1, w0c2 = _fwd_wire(batch, Rp, Tc_f, log_m1,
+                                              log_e2)
+    # scal lanes: bw, N, T, m1, e2, zb
+    lm, le = _trans_lanes(log_m1, log_e2, Rp)
+    scal = _pack_scal(_pad_reads(batch.bw, Rp), _pad_reads(batch.N, Rp),
+                      _pad_reads(batch.T, Rp), lm, le,
+                      Zb.astype(jnp.float32))
+
+    kernel = functools.partial(_fwd_vit_kernel, B=B, C=C, G=G)
+    idx3 = lambda r, c: (c, r, 0)
+    scal_spec = pl.BlockSpec((G, scal.shape[1]), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec((C, G, rows.shape[2]), idx3,
+                             memory_space=pltpu.VMEM)
+    w0_spec = pl.BlockSpec((G, B), lambda r, c: (r, 0),
+                           memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((C, G, B), idx3, memory_space=pltpu.VMEM)
+    zf_spec = pl.BlockSpec((G, 128), lambda r, c: (r, 0),
+                           memory_space=pltpu.VMEM)
+    ch, PM, PE, zf = pl.pallas_call(
+        kernel,
+        grid=(Rp // G, nc),
+        in_specs=[scal_spec, rows_spec, w0_spec, w0_spec, w0_spec,
+                  mat_spec, mat_spec],
+        out_specs=(mat_spec, mat_spec, mat_spec, zf_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tc_f, Rp, B), jnp.int32),
+            jax.ShapeDtypeStruct((Tc_f, Rp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Tc_f, Rp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((G, B), jnp.float32) for _ in range(7)]
+            + [pltpu.VMEM((G, 128), jnp.float32)]
+        ),
+        interpret=interpret,
+    )(scal, rows, w0mu, w0c1, w0c2, bM, bE)
+    return zf[:, 0], ch, PM, PE, rows
+
+
+# ---------------------------------------------------------------------------
 # traceback walk
 # ---------------------------------------------------------------------------
 
@@ -630,7 +803,7 @@ def _walk_kernel(scal_ref, rows_ref, pm_ref, pe_ref, ch_ref,
         )
         return 0
 
-    jax.lax.fori_loop(0, C, body, 0)
+    jax.lax.fori_loop(0, C, body, 0, unroll=UNROLL)
 
 
 def _walk_t(PM, PE, choices, batch: bb.BandedBatch, N_max: int,
@@ -721,20 +894,18 @@ def walk_pallas(PM, PE, choices, batch: bb.BandedBatch, N_max: int,
 
 def banded_segment_pallas(batch: bb.BandedBatch, N_max: int, log_m1, log_e2,
                           interpret: bool = False):
-    """Fused production entry: T-major end to end (no transposes of the
-    DP tensors ever materialize). Returns (Zf, Zb, starts, medians)."""
+    """Fused production entry: THREE wavefront passes (bwd -> fused
+    fwd+posterior+viterbi -> walk), T-major end to end. The backward pass
+    runs first so Zb is available to normalize posteriors inside the
+    fused pass; the forward DP tensors never materialize in HBM.
+    Returns (Zf, Zb, starts, medians)."""
     R = batch.sig.shape[0]
-    fM, fE, rows = _forward_t(batch, log_m1, log_e2, interpret,
-                              return_rows=True)
     bM, bE = _backward_t(batch, log_m1, log_e2, interpret)
-    Tc, Rp, B = fM.shape
-    # the viterbi/walk chunk grids must divide Tc (CHUNK is a multiple of
-    # both, so Tc always is)
+    Tc, Rp, B = bM.shape
     rp_iota = jnp.arange(Rp)
-    T_p = _pad_reads(batch.T.astype(jnp.int32), Rp)
     bw_p = _pad_reads(batch.bw.astype(jnp.int32), Rp)
-    Zf = fE[T_p - 1, rp_iota, bw_p + 1]
     Zb = bE[0, rp_iota, bw_p + 1]
-    ch, PM, PE = _viterbi_t(fM, fE, bM, bE, Zb, batch, interpret, rows=rows)
+    Zf, ch, PM, PE, rows = _fwd_vit_t(batch, bM, bE, Zb, log_m1, log_e2,
+                                      interpret)
     starts, medians = _walk_t(PM, PE, ch, batch, N_max, interpret, rows=rows)
     return Zf[:R], Zb[:R], starts[:R], medians[:R]

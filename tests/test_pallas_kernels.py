@@ -90,6 +90,34 @@ def test_full_run_matches_scan(setup):
     )
 
 
+def test_fused_segment_entry_matches_scan_pipeline(setup):
+    """The PRODUCTION fused path (bwd -> fused fwd+posterior+viterbi ->
+    walk; forward DP never hits HBM, Zf captured in-kernel) must yield
+    the same Z values, segment starts, and medians as the scan pipeline."""
+    import jax
+
+    from dynamont_tpu.ops import nt_banded_device as dv
+
+    batch = setup
+    lm, le = math.log(M1), math.log(E2)
+    N_max = int(np.asarray(batch.N).max())
+    Zf_p, Zb_p, starts_p, med_p = pk.banded_segment_pallas(
+        batch, N_max, lm, le, interpret=True
+    )
+    res = bb.banded_batch_run(batch, lm, le)
+    walk = jax.vmap(dv._walk_single(batch.B, N_max))
+    starts_s, med_s = walk(res.PM, res.PE, res.choices, batch.bstart,
+                           batch.T, batch.N, batch.bw)
+    np.testing.assert_allclose(np.asarray(Zf_p), np.asarray(res.Zf),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(Zb_p), np.asarray(res.Zb),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(starts_p),
+                                  np.asarray(starts_s))
+    np.testing.assert_allclose(np.asarray(med_p), np.asarray(med_s),
+                               atol=1e-6)
+
+
 def test_walk_matches_device_walk(setup):
     import jax
 
