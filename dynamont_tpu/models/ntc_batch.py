@@ -65,7 +65,12 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             use_pallas=False, interpret=False):
         bigk = False
         if use_pallas:
-            from dynamont_tpu.ops import ntc_pre_pallas as npp
+            from dynamont_tpu.ops import ntc_pre_pallas
+
+            # kernel-module instances at this bucket's geometry: the
+            # default (16 reads, CN=8, CK=128); the wide retry rung runs
+            # (8, 16, 256) — doubled caps, half the reads per bucket
+            npp = ntc_pre_pallas.geometry(sig.shape[0])
 
             pn = npp.pre_tn_pallas(
                 sig, kmer_ids, N_r, T_r, mu, sd, log_ppm, log_ppe, CN,
@@ -103,9 +108,11 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
         )
         sigd = sig.astype(dtype)
         if use_pallas:
-            # Mosaic kernel path (ops/ntc_pallas): requires the (16, 8,
-            # 128, 4) bucket geometry checked by the engine
-            from dynamont_tpu.ops import ntc_pallas as npk
+            # Mosaic kernel path (ops/ntc_pallas) at this bucket's
+            # geometry (reads x CN x CK with reads*CN = 128)
+            from dynamont_tpu.ops import ntc_pallas
+
+            npk = ntc_pallas.geometry(sig.shape[0], CN, CK0 + CN)
 
             R = dims[0]
             packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K,
@@ -744,19 +751,29 @@ class NTCBatchEngine:
             return e
 
     def _run_wide(self, idxs: list[int], items, outputs) -> list[int]:
-        """fp32 wide-cap retry rung: overflowing reads re-run as ONE
-        scan-path bucket at doubled caps (cap_n 16, cap_k 256) before any
-        falls to the per-read fp64 CAP_LADDER cliff. Returns the reads
-        that still overflow / fail their Z gates."""
-        wide_n = max(16, 2 * self.cap_n)
-        wide_k = max(256, 2 * self.cap_k)
+        """fp32 wide-cap retry rung: overflowing reads re-run at doubled
+        caps before any falls to the per-read fp64 CAP_LADDER cliff.
+        On a pallas engine the rung runs the SECOND Mosaic kernel
+        geometry — (8 reads, CN=16, CK=256), i.e. doubled candidate caps
+        at half the reads per bucket (same 128-sublane budget, see
+        ops/ntc_pallas.geometry) — so overflow repair stays on the
+        kernel path instead of the ~50x-slower per-step XLA scan. Scan
+        engines keep the scan rung at (16, 256). Returns the reads that
+        still overflow / fail their Z gates."""
+        if self.pallas:
+            wide_n, wide_k = 16, 240          # CK = 240 + 16 = 256 lanes
+            widths = (8,)                     # geometry fixes R at 8
+        else:
+            wide_n = max(16, 2 * self.cap_n)
+            wide_k = max(256, 2 * self.cap_k)
+            widths = (4, 8, 16)
         still: list[int] = []
-        for gidx in self._buckets(idxs, items):
+        for gidx in self._wide_buckets(idxs, items, widths[-1]):
             R = len(gidx)
             # pad the read axis to a FIXED width: overflow counts vary
             # run to run, and every distinct R is a fresh ~35 s XLA
             # compile — one stable shape per T bucket instead
-            r_pad = next((w for w in (4, 8, 16) if R <= w), R)
+            r_pad = next((w for w in widths if R <= w), R)
             T_arr, N_arr, sig, kid, N2 = self._pad_bucket(
                 gidx, items, r_pad=r_pad)
             S_max = round_up(N2 + N2 // 4 + 64, 128)
@@ -765,7 +782,8 @@ class NTCBatchEngine:
                 jax.device_put(sig, dev), jax.device_put(kid, dev),
                 jax.device_put(T_arr, dev), jax.device_put(N_arr, dev),
                 CN=wide_n, CK0=wide_k, S_max=S_max,
-                use_pallas=False, interpret=False, device=dev,
+                use_pallas=self.pallas, interpret=self.pallas_interpret,
+                device=dev,
             )
             for arr in res.values():
                 try:
@@ -786,6 +804,23 @@ class NTCBatchEngine:
             print(f"ntc wide-cap rung: {len(still)}/{len(idxs)} reads "
                   "still overflow; falling to exact fp64", file=sys.stderr)
         return still
+
+    def _wide_buckets(self, idxs, items, width: int):
+        """Bucket packing for the wide rung: the pallas rung's geometry
+        takes at most 8 reads per bucket (and always pads to 8 rows);
+        scan-rung buckets keep the engine's batch size."""
+        from dynamont_tpu.models.packing import pack_buckets
+
+        idxs = list(idxs)
+        buckets = pack_buckets(
+            [len(items[i].signal) for i in idxs],
+            batch_size=min(self.batch_size, width),
+            max_batch_samples=self.max_batch_samples,
+            t_pad_to=self.t_pad_to,
+            group=width if self.pallas else 1,
+        )
+        for b in buckets:
+            yield [idxs[p] for p in b]
 
     def _run_exact(self, it: BatchItem) -> BatchOutput:
         """Exact per-read fp64 fallback for cap-overflow reads."""

@@ -31,13 +31,17 @@ Layout (all tensors T-major):
   (input_output_aliases): row t of bwd is consumed in the same grid step
   that writes row t of lp, saving a 5.4 GB HBM allocation.
 
-The kernels require R=16, CN=8, CK=128 (cap_k=120), A=4; the engine pads
-read counts up and falls back to the XLA scan path otherwise.
+The default module geometry is R=16, CN=8, CK=128 (cap_k=120), A=4; the
+engine pads read counts up and falls back to the XLA scan path for other
+shapes. geometry(r, cn, ck) instantiates the same kernels at another
+bucket geometry with R*CN=128 — the overflow retry rung runs (8, 16,
+256), i.e. doubled candidate caps at half the reads per bucket.
 """
 
 from __future__ import annotations
 
 import functools
+import sys
 from typing import NamedTuple
 
 import jax
@@ -46,15 +50,32 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-R = 16
-CN = 8
-RC = R * CN          # 128 sublanes
-CK = 128             # k-slots per column (cap_k=120 + CN)
 A = 4
-ACK = A * CK         # 512
 NS = 24              # nrow streams (padded)
-C_BWD = 8            # rows per grid step, backward kernel
-C_PV = 4             # rows per grid step, posterior/viterbi kernel
+
+
+def _set_geometry(r: int, cn: int, ck: int) -> None:
+    """Install a bucket geometry (reads x n-slots x k-slots) as this
+    module instance's constants. R * CN must stay 128 (the sublane axis
+    of every state block) and CN a power of two (the I-chain doubling
+    and the per-read roll trees); CK is a multiple of 128 lanes. The
+    per-grid-step row chunks scale inversely with CK so the streamed
+    VMEM footprint stays at the default geometry's level. Call ONLY at
+    module instantiation (see geometry()) — the kernels read these
+    globals at trace time."""
+    global R, CN, CK, RC, ACK, C_BWD, C_PV, C_WK
+    assert r * cn == 128, (r, cn)
+    assert cn & (cn - 1) == 0, cn
+    assert ck % 128 == 0, ck
+    R, CN, CK = r, cn, ck
+    RC = r * cn          # 128 sublanes
+    ACK = A * ck
+    C_BWD = max(2, 8 * 128 // ck)   # rows per grid step, backward kernel
+    C_PV = max(2, 4 * 128 // ck)    # rows per grid step, pv kernel
+    C_WK = max(2, 8 * 128 // ck)    # rows per grid step, walk kernel
+
+
+_set_geometry(16, 8, 128)  # default: 16 reads x 8 n-slots x 128 k-slots
 
 NEG_INF = float(np.float32(-np.inf))
 NEG_BIG = -1e30      # finite -inf proxy inside one-hot matmuls
@@ -508,7 +529,7 @@ def _affine_chain(a, b, up: bool, maxplus: bool):
     within 8-row groups (up: low->high slot order, else high->low). The
     doubling identity element is (a=-inf, b=0)."""
     op = jnp.maximum if maxplus else jnp.logaddexp
-    for s in range(3):
+    for s in range(CN.bit_length() - 1):    # log2(CN) doubling steps
         sh = 1 << s
         a_in = _roll_grp(a, sh, NEG_INF, up)
         b_in = _roll_grp(b, sh, 0.0, up)
@@ -803,11 +824,11 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
             lp_st = fwd_cols[st] + bwd_st - zcol
             lps.append(lp_st)
             mx = jnp.maximum(mx, jnp.max(lp_st, axis=1, keepdims=True))
-        # per-read max across the 8 n-slot sublanes: suffix roll-tree up
+        # per-read max across the CN n-slot sublanes: suffix roll-tree up
         # then prefix tree down broadcasts the group max to every row
         for up in (True, False):
-            for sh in (1, 2, 4):
-                mx = jnp.maximum(mx, _roll_grp(mx, sh, NEG_INF, up))
+            for s in range(CN.bit_length() - 1):
+                mx = jnp.maximum(mx, _roll_grp(mx, 1 << s, NEG_INF, up))
         live_col = mx > NEG_THR
         mx_safe = jnp.where(live_col, mx, 0.0)
         tot = jnp.zeros((RC, 1), jnp.float32)
@@ -963,7 +984,6 @@ def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
 # basepos, start, k, e_seg] — every value is a small int or a probability,
 # exact in f32 — and reduced by ops/ntc_walk.finish_records outside.
 
-C_WK = 8
 N_MICRO = 3          # 1 t-step + up to 2 in-column I-steps (ntc_walk)
 NREC = 8             # record fields per micro-op
 # start-pack rows
@@ -982,8 +1002,9 @@ def _walk_kernel(nrow_ref, sl_ref, lp_ref, ch_ref, sp_ref,
         st[...] = jnp.zeros((R, 16), jnp.float32)
 
     r_col = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).astype(jnp.float32)
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, CK), 1).astype(jnp.float32)
-    lane640 = jax.lax.broadcasted_iota(jnp.int32, (R, 5 * RC), 1).astype(jnp.float32)
+    lane_ck = jax.lax.broadcasted_iota(jnp.int32, (R, CK), 1).astype(jnp.float32)
+    lane_rc = jax.lax.broadcasted_iota(jnp.int32, (R, RC), 1).astype(jnp.float32)
+    lane_st = jax.lax.broadcasted_iota(jnp.int32, (R, 5 * RC), 1).astype(jnp.float32)
     i0c = sp_ref[SP_I0][:, None]
     j0c = sp_ref[SP_J0][:, None]
     k0c = sp_ref[SP_K0][:, None]
@@ -1025,14 +1046,14 @@ def _walk_kernel(nrow_ref, sl_ref, lp_ref, ch_ref, sp_ref,
         did_t = jnp.zeros((R, 1), bool)
         for m in range(N_MICRO):
             # cell loads: one-hot row select per read, lane select via mask
-            Vj = (lane128 == sj).astype(jnp.float32)
-            U1 = (lane640 == state * RC + CN * r_col + si).astype(
+            Vj = (lane_ck == sj).astype(jnp.float32)
+            U1 = (lane_st == state * RC + CN * r_col + si).astype(
                 jnp.float32)
             P = jnp.dot(U1, lp_t, preferred_element_type=jnp.float32,
                         precision=PREC)
             lp_state = sel(P, Vj)
             lp_state = jnp.where(lp_state <= NEG_THR, NEG_INF, lp_state)
-            U2 = (lane128 == CN * r_col + si).astype(jnp.float32)
+            U2 = (lane_rc == CN * r_col + si).astype(jnp.float32)
             Pc = jnp.dot(U2, ch_t, preferred_element_type=jnp.float32,
                          precision=PREC)
             ch = sel(Pc, Vj).astype(jnp.int32)
@@ -1608,3 +1629,37 @@ def ntc_train_pallas(packs: NTCPacks, fwd, ksT, Z_norm, trans_log,
     )(_tl_array(trans_log), packs.nrow, packs.kcol, packs.suc, packs.ksTn,
       ksT, packs.alw, packs.hd, fwd, zcol)
     return tacc, em, b0
+
+
+# ---------------------------------------------------------------------------
+# geometry instantiation
+# ---------------------------------------------------------------------------
+
+_GEOM_CACHE: dict = {}
+
+
+def geometry(r: int, cn: int, ck: int):
+    """Module instance of these kernels at bucket geometry (r, cn, ck).
+
+    The default (16, 8, 128) geometry IS this module; other geometries —
+    e.g. the overflow retry rung's (8, 16, 256), double the candidate
+    caps of (16, 8, 128) at half the reads — are separate module objects
+    executed from the same source file, so each instance's kernels close
+    over their own trace-time constants (no shared mutable state).
+    Instances are cached; jit caches key on the kernel functions'
+    identity, so repeated calls reuse compiles.
+    """
+    if (r, cn, ck) == (R, CN, CK):
+        return sys.modules[__name__]
+    key = (r, cn, ck)
+    mod = _GEOM_CACHE.get(key)
+    if mod is None:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            f"{__name__}__g{r}x{cn}x{ck}", __file__)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod._set_geometry(r, cn, ck)
+        _GEOM_CACHE[key] = mod
+    return mod

@@ -38,7 +38,7 @@ from dynamont_tpu.ops.ntc_batch import (
     LOG_2PI, PreBatchResult, crossing_from_topk, select_topk,
 )
 
-R = 16
+R = 16  # reads per bucket (sublane axis); see geometry()
 NEG_INF = float(np.float32(-np.inf))
 PREC = jax.lax.Precision.HIGHEST
 C_TN = 8            # t rows per grid step (TN kernels)
@@ -481,3 +481,33 @@ def pre_tk_pallas(sig, T_r, means, c1, c2, log_m1, log_e2,
     return PreBatchResult(cand.reshape(T_pad, R, cap),
                           cnt.reshape(T_pad, R), Zf, Zb,
                           ovf.reshape(T_pad, R).any(axis=0))
+
+
+# ---------------------------------------------------------------------------
+# geometry instantiation (see ops/ntc_pallas.geometry)
+# ---------------------------------------------------------------------------
+
+_GEOM_CACHE: dict = {}
+
+
+def geometry(r: int):
+    """Module instance of the pre-pass kernels at r reads per bucket.
+
+    The default r=16 IS this module; other read counts (the overflow
+    retry rung runs r=8) are separate module objects executed from the
+    same source so each instance's kernels close over their own R."""
+    import sys
+
+    if r == R:
+        return sys.modules[__name__]
+    mod = _GEOM_CACHE.get(r)
+    if mod is None:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            f"{__name__}__r{r}", __file__)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.R = r
+        _GEOM_CACHE[r] = mod
+    return mod

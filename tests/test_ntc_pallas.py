@@ -424,6 +424,81 @@ def test_engine_train_kernel_path_matches_exact(setup):
 
 
 @pytest.mark.slow
+def test_wide_geometry_program_matches_scan(setup):
+    """The SECOND Mosaic geometry — (8 reads, CN=16, CK=256), the
+    overflow retry rung's doubled-cap kernel instance
+    (ops/ntc_pallas.geometry) — through the full bucket program vs the
+    scan path at the same caps."""
+    from dynamont_tpu.models.ntc_batch import make_ntc_batch_fn, round_up
+
+    model = load_model_for_pore("rna002")
+    A, S = model.alphabet_size, model.kmer_size
+    R8 = 8
+    sigs, kids = [], []
+    for s in range(R8):
+        sig, read = make_read(model, n_bases=20 + (s % 3) * 5, seed=s)
+        sigs.append(sig)
+        kids.append(np.asarray(seq_to_kmer_ids(read, S, A), np.int32))
+    T_arr = np.array([len(s) + 1 for s in sigs], np.int32)
+    N_arr = np.array([len(k) + 1 for k in kids], np.int32)
+    T_pad = round_up(int(T_arr.max()), 64)
+    N2 = round_up(int(N_arr.max()), 128)
+    sigp = np.zeros((R8, T_pad - 1), np.float32)
+    kidp = np.zeros((R8, N2 - 1), np.int32)
+    for j in range(R8):
+        sigp[j, : T_arr[j] - 1] = sigs[j]
+        kidp[j, : N_arr[j] - 1] = kids[j]
+    fn = make_ntc_batch_fn(model, "rna002", None, jnp.float32)
+    kw = dict(CN=16, CK0=240, S_max=round_up(N2 + N2 // 4 + 64, 128))
+    args = (jnp.asarray(sigp), jnp.asarray(kidp), jnp.asarray(T_arr),
+            jnp.asarray(N_arr))
+    res_p = {k: np.asarray(v) for k, v in
+             fn(*args, use_pallas=True, interpret=True, **kw).items()}
+    res_s = {k: np.asarray(v) for k, v in
+             fn(*args, use_pallas=False, **kw).items()}
+    for key in ("Zf", "Zb", "Zf_tn", "Zb_tn", "Zf_tk", "Zb_tk"):
+        np.testing.assert_allclose(res_p[key], res_s[key], atol=5e-4)
+    for key in ("seg_cnt", "seg_state", "seg_bp", "seg_start", "seg_k"):
+        np.testing.assert_array_equal(res_p[key], res_s[key])
+    np.testing.assert_allclose(res_p["seg_med"], res_s["seg_med"],
+                               atol=1e-4)
+
+
+@pytest.mark.slow
+def test_engine_wide_rung_runs_kernel_geometry(setup):
+    """On a pallas engine the overflow retry rung stays on the kernel
+    path at the (8, 16, 256) geometry (VERDICT r3 item 3: repair used to
+    drop to the per-step XLA scan). Reads fed straight into _run_wide
+    must come back repaired and match a scan engine at the wide caps."""
+    from dynamont_tpu.models.batch import BatchItem
+    from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+
+    model = load_model_for_pore("rna002")
+    items = []
+    for s in range(5):
+        sig, read = make_read(model, n_bases=18 + s * 3, seed=200 + s)
+        items.append(BatchItem(sig, read))
+    kw = dict(t_pad_to=32, n_pad_to=16)
+    eng_p = NTCBatchEngine(model, "rna002", pallas=True,
+                           pallas_interpret=True, **kw)
+    outputs = [None] * len(items)
+    still = eng_p._run_wide(list(range(len(items))), items, outputs)
+    assert still == []
+    eng_s = NTCBatchEngine(model, "rna002", pallas=False, cap_n=16,
+                           cap_k=240, **kw)
+    outs_s = eng_s.run(items)
+    for op, os_ in zip(outputs, outs_s):
+        assert op is not None and op.error is None, op
+        assert os_.error is None, os_.error
+        assert abs(op.Z - os_.Z) < 1e-3
+        assert len(op.segments) == len(os_.segments)
+        for gp, gs in zip(op.segments, os_.segments):
+            assert (gp[0], gp[1], gp[2], gp[4]) == \
+                   (gs[0], gs[1], gs[2], gs[4])
+            assert abs(gp[3] - gs[3]) < 1e-5
+
+
+@pytest.mark.slow
 def test_engine_pallas_path_matches_scan_path(setup):
     """Full NTCBatchEngine wiring (packs + 3 kernels + finish) vs scan."""
     from dynamont_tpu.models.batch import BatchItem
