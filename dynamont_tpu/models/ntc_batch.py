@@ -120,7 +120,9 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
                                            interpret=interpret)
             bwd = npk.ntc_backward_pallas(packs, trans_log,
                                           interpret=interpret)
-            bwd0 = (bwd[0].reshape(5, R, npk.CN, npk.CK)
+            # wide geometries store the backward stream in bf16 — lift
+            # row 0 back to f32 for the Zb logsumexp
+            bwd0 = (bwd[0].astype(dtype).reshape(5, R, npk.CN, npk.CK)
                     .transpose(1, 0, 2, 3).reshape(R, -1))
             Zb3 = nb.ntc_zb_batch(plan, dims, bwd0)
             lp, choices, slots, apEf, fwdEf = \
@@ -217,7 +219,7 @@ def ntc_train_bucket_program(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a,
     fwdE_final = fwd[(T_r - 1)[:, None], rows, :]     # (R, CN, CK)
     Zf3 = nb.ntc_zf_batch(plan, dims, fwdE_final, N_r, T_r)
     tacc, em, b0 = npk.ntc_train_pallas(
-        packs, fwd, packs.ksT, Zf3, trans_log, interpret=interpret)
+        packs, fwd, Zf3, trans_log, interpret=interpret)
     bwd0 = (b0.reshape(5, R, npk.CN, npk.CK)
             .transpose(1, 0, 2, 3).reshape(R, -1))
     Zb3 = nb.ntc_zb_batch(plan, dims, bwd0)
@@ -778,20 +780,36 @@ class NTCBatchEngine:
                 gidx, items, r_pad=r_pad)
             S_max = round_up(N2 + N2 // 4 + 64, 128)
             dev = self._next_device()
-            res = self._fn(
-                jax.device_put(sig, dev), jax.device_put(kid, dev),
-                jax.device_put(T_arr, dev), jax.device_put(N_arr, dev),
-                CN=wide_n, CK0=wide_k, S_max=S_max,
-                use_pallas=self.pallas, interpret=self.pallas_interpret,
-                device=dev,
-            )
+
+            def run_rung(use_pallas, wn, wk):
+                return self._fn(
+                    jax.device_put(sig, dev), jax.device_put(kid, dev),
+                    jax.device_put(T_arr, dev), jax.device_put(N_arr, dev),
+                    CN=wn, CK0=wk, S_max=S_max,
+                    use_pallas=use_pallas, interpret=self.pallas_interpret,
+                    device=dev,
+                )
+
+            wn, wk = wide_n, wide_k
+            if self.pallas:
+                try:
+                    res = run_rung(True, wn, wk)
+                    jax.block_until_ready(res["Zf"])
+                except Exception as e:  # HBM/compile limits: scan rung
+                    print(f"ntc wide-cap kernel rung failed "
+                          f"({type(e).__name__}); scan rung",
+                          file=sys.stderr)
+                    wn, wk = 16, 256
+                    res = run_rung(False, wn, wk)
+            else:
+                res = run_rung(False, wn, wk)
             for arr in res.values():
                 try:
                     arr.copy_to_host_async()
                 except AttributeError:
                     break
             still += self._collect((gidx, T_arr, N_arr, res), items,
-                                   outputs, caps=(wide_n, wide_k))
+                                   outputs, caps=(wn, wk))
             # a wide-rung Z-gate failure is NOT terminal: these reads
             # previously went straight to the exact fp64 path and may
             # succeed there — escalate them instead of keeping the error

@@ -62,6 +62,7 @@ from dynamont_tpu.ops.nt_banded_pallas import (
 )
 
 CHUNK_TRAIN = 128
+SUB_TRAIN = 8    # rows per sub-accumulator (see _train_trans_kernel)
 PREC = jax.lax.Precision.HIGHEST
 
 
@@ -71,8 +72,9 @@ PREC = jax.lax.Precision.HIGHEST
 
 def _train_trans_kernel(scal_ref, rows_ref, fe_ref, bm_ref, be_ref,
                         w0mu_ref, w0c1_ref, w0c2_ref,
-                        accM1_ref, accE2_ref, wmu, wc1, wc2, cm1, ce2,
-                        *, B, C, G, log_m1, log_e2):
+                        accM1_ref, accE2_ref, accM1e_ref, accE2e_ref,
+                        wmu, wc1, wc2, cm1, ce2,
+                        sm1, se2, *, B, C, G, log_m1, log_e2):
     """Accumulate the m1/e2 logsumexp terms (ref: NT_banded.cpp:303-371).
 
     Row t contributes forE[t] + log_a + score + shifted-backward[t+1];
@@ -88,17 +90,27 @@ def _train_trans_kernel(scal_ref, rows_ref, fe_ref, bm_ref, be_ref,
 
     @pl.when(c == 0)
     def _():
+        # running ONLINE logsumexp per lane: max in accM1/accE2, exp-sum
+        # (relative to that max) in accM1e/accE2e
         accM1_ref[...] = jnp.full((G, B), NEG_INF, jnp.float32)
         accE2_ref[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+        accM1e_ref[...] = jnp.zeros((G, B), jnp.float32)
+        accE2e_ref[...] = jnp.zeros((G, B), jnp.float32)
         wmu[...] = w0mu_ref[...]
         wc1[...] = w0c1_ref[...]
         wc2[...] = w0c2_ref[...]
 
-    # two-level accumulation: rows fold into a per-chunk accumulator, the
-    # chunk folds into the running total once — sequential-rounding error
-    # scales with C + nc instead of T (fp32 m1/e2 ~4e-3 -> ~1e-4 rel)
+    # three-level accumulation: rows fold into an 8-row SUB-accumulator
+    # (log space), sub-accs fold into the chunk accumulator (log space),
+    # chunks fold into the running total ONLINE in exp space (rescale by
+    # exp(old_max - new_max): ~1 ulp of relative error per chunk instead
+    # of a log-space logaddexp chain). Sequential log-space error scales
+    # with SUB + C/SUB instead of C + nc (fp32 m1/e2 drift at 24x16k:
+    # ~4e-3 two-level -> ~2e-4).
     cm1[...] = jnp.full((G, B), NEG_INF, jnp.float32)
     ce2[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+    sm1[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+    se2[...] = jnp.full((G, B), NEG_INF, jnp.float32)
 
     def body(i, _):
         t = c * C + i
@@ -135,13 +147,33 @@ def _train_trans_kernel(scal_ref, rows_ref, fe_ref, bm_ref, be_ref,
                          fE + log_m1 + sc_a + bM_sh, NEG_INF)
         e2_t = jnp.where(live & (nf > 0.0),
                          fE + log_e2 + sc_b + bE_sh, NEG_INF)
-        cm1[...] = jnp.logaddexp(cm1[...], m1_t)
-        ce2[...] = jnp.logaddexp(ce2[...], e2_t)
+        sm1[...] = jnp.logaddexp(sm1[...], m1_t)
+        se2[...] = jnp.logaddexp(se2[...], e2_t)
+
+        @pl.when(i % SUB_TRAIN == SUB_TRAIN - 1)
+        def _():
+            cm1[...] = jnp.logaddexp(cm1[...], sm1[...])
+            ce2[...] = jnp.logaddexp(ce2[...], se2[...])
+            sm1[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+            se2[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+
         return 0
 
     jax.lax.fori_loop(0, C, body, 0)
-    accM1_ref[...] = jnp.logaddexp(accM1_ref[...], cm1[...])
-    accE2_ref[...] = jnp.logaddexp(accE2_ref[...], ce2[...])
+
+    def fold_online(max_ref, sum_ref, chunk_log):
+        m_old = max_ref[...]
+        m_new = jnp.maximum(m_old, chunk_log)
+        live = m_new > -1e30
+        scale = jnp.where(live, jnp.exp(m_old - jnp.where(live, m_new, 0.0)),
+                          0.0)
+        add = jnp.where(chunk_log > -1e30,
+                        jnp.exp(chunk_log - jnp.where(live, m_new, 0.0)), 0.0)
+        max_ref[...] = m_new
+        sum_ref[...] = sum_ref[...] * scale + add
+
+    fold_online(accM1_ref, accM1e_ref, cm1[...])
+    fold_online(accE2_ref, accE2e_ref, ce2[...])
     del bw  # band validity is already encoded in the NEG_INF rows
 
 
@@ -236,27 +268,29 @@ def transitions_pallas(batch: bb.BandedBatch, forE, backM, backE,
                             memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((G, B), lambda r, c: (r, 0),
                             memory_space=pltpu.VMEM)
-    accM1, accE2 = pl.pallas_call(
+    accM1, accE2, accM1e, accE2e = pl.pallas_call(
         kernel,
         grid=(Rp // G, nc),
         in_specs=[scal_spec, rows_spec, mat_spec, mat_spec, mat_spec,
                   w0_spec, w0_spec, w0_spec],
-        out_specs=(acc_spec, acc_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((Rp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Rp, B), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((G, B), jnp.float32) for _ in range(5)],
+        out_specs=(acc_spec, acc_spec, acc_spec, acc_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((Rp, B), jnp.float32) for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((G, B), jnp.float32) for _ in range(7)],
         interpret=interpret,
     )(scal, rows, forE, bm_next, be_next, w0mu, w0c1, w0c2)
 
-    def _lse(acc):
+    def _lse(mx, es):
+        # per-lane log value from the online (max, exp-sum) pair, then
+        # one exact exp-space reduce over the band per read
+        acc = jnp.where(es > 0.0, mx + jnp.log(jnp.where(es > 0.0, es, 1.0)),
+                        NEG_INF)
         m = jnp.max(acc, axis=1)
         safe = jnp.where(jnp.isfinite(m), m, 0.0)
         s = jnp.log(jnp.sum(jnp.exp(acc - safe[:, None]), axis=1))
         return jnp.where(jnp.isfinite(m), s + safe, m)
 
-    return _lse(accM1)[:R], _lse(accE2)[:R]
+    return _lse(accM1, accM1e)[:R], _lse(accE2, accE2e)[:R]
 
 
 # ---------------------------------------------------------------------------

@@ -63,7 +63,7 @@ def _set_geometry(r: int, cn: int, ck: int) -> None:
     VMEM footprint stays at the default geometry's level. Call ONLY at
     module instantiation (see geometry()) — the kernels read these
     globals at trace time."""
-    global R, CN, CK, RC, ACK, C_BWD, C_PV, C_WK
+    global R, CN, CK, RC, ACK, C_BWD, C_PV, C_WK, SLB, SLM
     assert r * cn == 128, (r, cn)
     assert cn & (cn - 1) == 0, cn
     assert ck % 128 == 0, ck
@@ -73,12 +73,27 @@ def _set_geometry(r: int, cn: int, ck: int) -> None:
     C_BWD = max(2, 8 * 128 // ck)   # rows per grid step, backward kernel
     C_PV = max(2, 4 * 128 // ck)    # rows per grid step, pv kernel
     C_WK = max(2, 8 * 128 // ck)    # rows per grid step, walk kernel
+    SLB = ck.bit_length()           # slot-word field width: +1-coded slot
+    SLM = (1 << SLB) - 1            # indices reach CK, so ceil(log2(CK+1))
+    global LP_DT, CH_DT
+    # the packed choice word is <= 13 bits -> i16 store (exact, halves
+    # that stream's HBM footprint and bandwidth at every geometry); the
+    # backward/posterior stores stay f32 (bf16 backward flips ~1% of
+    # Viterbi fields — measured; see the checkpointed wide path for the
+    # HBM story)
+    LP_DT = jnp.float32
+    CH_DT = jnp.int16
 
 
 _set_geometry(16, 8, 128)  # default: 16 reads x 8 n-slots x 128 k-slots
 
 NEG_INF = float(np.float32(-np.inf))
 NEG_BIG = -1e30      # finite -inf proxy inside one-hot matmuls
+# raised scoped-VMEM limit for every kernel (v5e has 128 MB VMEM; the
+# 16 MB default rejects e.g. the train kernel's fwd-store block + 18
+# scratch accumulators at 18.4 MB, and the wide (8, 16, 256) geometry's
+# posterior/viterbi kernel at 16.14 MB)
+_CPAR = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
 NEG_THR = -5e29
 PREC = jax.lax.Precision.HIGHEST
 
@@ -91,12 +106,15 @@ D01, D02 = 14, 15
 ISTERM, DEAD, ROWN, N0 = 16, 17, 18, 19
 SIG_T, SIG_TM1 = 20, 21
 
-# kcol stream indices ((16, CK) rows per stream); K_KS carries the
+# kcol stream indices ((R, CK) rows per stream); K_KS carries the
 # first-slot-wins masked k-mer VALUES (dead slots -1) — the kernels build
-# every k-slot gather one-hot from value equality against the transposed
-# candidate streams (ksTp/ksTn), so no slot maps are precomputed
-K_MU, K_C1, K_C2, K_KS, K_SIG, K_SIGM1 = 0, 1, 2, 3, 4, 5
-NKS = 6
+# every k-slot gather one-hot from value equality against slot-major
+# columns derived IN-KERNEL by one MXU identity matmul (_ksT_of) from the
+# K_KSP/K_KSN streams (the prev/next column's values). Host-side (T, CK,
+# R) transposes are deliberately absent: that layout tiles R=8-16 values
+# onto 128 lanes, i.e. 8-16x padded HBM and stream bandwidth.
+K_MU, K_C1, K_C2, K_KS, K_SIG, K_SIGM1, K_KSP, K_KSN = range(8)
+NKS = 8
 # suc stream indices ((16, ACK) rows per stream)
 S_MU, S_C1, S_C2 = 0, 1, 2
 NSS = 3
@@ -106,11 +124,8 @@ A_ST, P_ST, S_ST, E_ST, I_ST = 0, 1, 2, 3, 4  # ref: NTC.cpp:699-703
 
 class NTCPacks(NamedTuple):
     nrow: jax.Array   # (T, NS, 128) f32
-    kcol: jax.Array   # (T, NKS, 16, CK) f32
-    suc: jax.Array    # (T, NSS, 16, ACK) f32
-    ksT: jax.Array    # (T, CK, 16) f32: masked ks of column t, slot-major
-    ksTp: jax.Array   # (T, CK, 16) f32: masked ks of column t-1, slot-major
-    ksTn: jax.Array   # (T, CK, 16) f32: masked ks of column t+1, slot-major
+    kcol: jax.Array   # (T, NKS, R, CK) f32 (incl. K_KSP/K_KSN ks values)
+    suc: jax.Array    # (T, NSS, R, ACK) f32
     alw: jax.Array    # (T, 128, CK) int8
     hd: jax.Array     # (T, 128, CK) int16 packed hd1|hd2<<4|hd1s<<8|hd2s<<12
     T_pad: int
@@ -205,6 +220,7 @@ def table_gather_pallas(ks, tabT, interpret: bool = False):
         out_specs=pl.BlockSpec((1, NTAB, J), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T_pad, NTAB, J), jnp.float32),
+        compiler_params=_CPAR,
         interpret=interpret,
     )(ks[:, :, None], tabT)
 
@@ -331,12 +347,13 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int, tables=None,
     zero = jnp.zeros((T_pad, RC), jnp.float32)
     streams = [zero if s is None else s for s in streams]
     nrow = jnp.stack(streams, axis=1)                   # (T, NS, 128)
-    kcol = jnp.stack([mu_k, c1_k, c2_k, ks_live, sigk, sigkm], axis=1)
-
-    ksT = ks_live.transpose(0, 2, 1)                     # (T, CK, 16)
-    no_col = jnp.full((1, CK, R), -1.0, jnp.float32)
-    ksTp = jnp.concatenate([no_col, ksT[:-1]], axis=0)
-    ksTn = jnp.concatenate([ksT[1:], no_col], axis=0)
+    # prev/next column k-mer values stay in the natural (R, CK) lane
+    # layout; the kernels derive slot-major columns on the MXU (_ksT_of)
+    no_row = jnp.full((1, R, CK), -1.0, jnp.float32)
+    ksp = jnp.concatenate([no_row, ks_live[:-1]], axis=0)
+    ksn = jnp.concatenate([ks_live[1:], no_row], axis=0)
+    kcol = jnp.stack([mu_k, c1_k, c2_k, ks_live, sigk, sigkm, ksp, ksn],
+                     axis=1)
 
     alw = plan.allowed.reshape(T_pad, RC, CK).astype(jnp.int8)
     if plan.hd1.dtype == jnp.int16:
@@ -348,12 +365,28 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int, tables=None,
               | (plan.hd1s.astype(jnp.int32) << 8)
               | (plan.hd2s.astype(jnp.int32) << 12)
               ).astype(jnp.int16).reshape(T_pad, RC, CK)
-    return NTCPacks(nrow, kcol, suc, ksT, ksTp, ksTn, alw, hd, T_pad, K)
+    return NTCPacks(nrow, kcol, suc, alw, hd, T_pad, K)
 
 
 # ---------------------------------------------------------------------------
 # in-kernel helpers
 # ---------------------------------------------------------------------------
+
+def _ksT_of(ks_rows):
+    """(R, CK) k-mer value rows -> (CK, R) slot-major columns.
+
+    One MXU identity matmul (exact: integer values < 2^24 times a 0/1
+    matrix). Replaces the former precomputed (T, CK, R) HBM streams,
+    whose layout tiled the R=8-16 reads onto 128 lanes — 8-16x padded
+    memory and bandwidth (2 GB per stream at the wide geometry; the
+    round-4 HBM OOM)."""
+    i_s = jax.lax.broadcasted_iota(jnp.int32, (CK, CK), 0)
+    i_l = jax.lax.broadcasted_iota(jnp.int32, (CK, CK), 1)
+    ident = (i_s == i_l).astype(jnp.float32)
+    return jax.lax.dot_general(
+        ident, ks_rows, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=PREC)
+
 
 def _expand16():
     """(128, 16) one-hot: row m -> read m // 8 (exact in any precision)."""
@@ -549,7 +582,7 @@ def _unpack_hd(hd_i16):
 # backward kernel (ref: NTC.cpp:500-578; XLA: ops/ntc_batch.ntc_backward_batch)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(nrow_ref, kcol_ref, suc_ref, ksTn_ref, alw_ref, hd_ref,
+def _bwd_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
                 out_ref, stA, stP, stS, stE, stI, *, C, nc, tl, K):
     ci = pl.program_id(0)
     chunk = nc - 1 - ci
@@ -606,7 +639,7 @@ def _bwd_kernel(nrow_ref, kcol_ref, suc_ref, ksTn_ref, alw_ref, hd_ref,
 
         ks_cur = kcol_ref[i, K_KS]
         gk_same, gk_suc = _col_gather(
-            [gnsE, gnnS, gnsP, gnnA], ksTn_ref[i],
+            [gnsE, gnnS, gnsP, gnnA], _ksT_of(kcol_ref[i, K_KSN]),
             _dst_vals(ks_cur, K, "same"), _dst_vals(ks_cur, K, "suc"))
         gskE, gnkS = gk_same[0], gk_same[1]
         gspP, gnaA = gk_suc[2], gk_suc[3]
@@ -673,14 +706,15 @@ def _bwd_kernel(nrow_ref, kcol_ref, suc_ref, ksTn_ref, alw_ref, hd_ref,
             outs.append(v)
         stA[...], stP[...], stS[...], stE[...], stI[...] = outs
         for st_idx, v in enumerate(outs):
-            out_ref[i, st_idx * RC:(st_idx + 1) * RC] = v
+            out_ref[i, st_idx * RC:(st_idx + 1) * RC] = v.astype(
+                out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, C, body, 0)
 
 
 def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
-    """(T_pad, 640, 128) f32 backward store."""
+    """(T_pad, 5*RC, CK) backward store (LP_DT: f32 default, bf16 wide)."""
     T_pad = packs.T_pad
     C = C_BWD
     assert T_pad % C == 0
@@ -698,8 +732,6 @@ def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, NSS, R, ACK), lambda c: (rev(c), 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, CK, R), lambda c: (rev(c), 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (rev(c), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (rev(c), 0, 0),
@@ -707,10 +739,11 @@ def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((C, 5 * RC, CK), lambda c: (rev(c), 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), LP_DT),
         scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32) for _ in range(5)],
+        compiler_params=_CPAR,
         interpret=interpret,
-    )(packs.nrow, packs.kcol, packs.suc, packs.ksTn, packs.alw, packs.hd)
+    )(packs.nrow, packs.kcol, packs.suc, packs.alw, packs.hd)
     return out
 
 
@@ -719,7 +752,7 @@ def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
 # (ref getBorders: NTC.cpp:595-669; XLA: ntc_posterior_viterbi_batch)
 # ---------------------------------------------------------------------------
 
-def _pv_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
+def _pv_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
                bwd_ref, z_ref, lp_ref, ch_ref, sl_ref, apEf_ref, fwdEf_ref,
                fA, fP, fS, fE, fI, vA, vP, vS, vE, vI, apEf, fwdEf,
                *, C, tl, K):
@@ -776,7 +809,7 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
         g_same, g_suc, cs16, cpa16 = _col_gather(
             [geP_E, geP_I, geP_P, geS_A, geS_P, geS_S, geS_E, geS_I,
              aP_E, aP_I, aP_P, aS_A, aS_P, aS_S, aS_E, aS_I],
-            ksTp_ref[i], _dst_vals(ks_cur, K, "same"),
+            _ksT_of(kcol_ref[i, K_KSP]), _dst_vals(ks_cur, K, "same"),
             _dst_vals(ks_cur, K, "prec"), want_slots=True)
         f_same, f_suc = g_same[:8], g_suc[:8]
         v_same, v_suc = g_same[8:], g_suc[8:]
@@ -820,7 +853,7 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
         lps = []
         mx = jnp.full((RC, 1), NEG_INF, jnp.float32)
         for st in range(5):
-            bwd_st = bwd_ref[i, st * RC:(st + 1) * RC]
+            bwd_st = bwd_ref[i, st * RC:(st + 1) * RC].astype(jnp.float32)
             lp_st = fwd_cols[st] + bwd_st - zcol
             lps.append(lp_st)
             mx = jnp.maximum(mx, jnp.max(lp_st, axis=1, keepdims=True))
@@ -842,7 +875,7 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
         col_rel = mx_safe + jnp.log(jnp.where(live_col, tot_rd, 1.0))
         for st in range(5):
             lp_ref[i, st * RC:(st + 1) * RC] = jnp.where(
-                live_col, lps[st] - col_rel, NEG_INF)
+                live_col, lps[st] - col_rel, NEG_INF).astype(lp_ref.dtype)
 
         # ---- viterbi over posteriors + first-match choices ----
         a_cands = []
@@ -880,7 +913,7 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
         packed = (ch_e | (ch_a << 2) | (ch_p << 5) | (ch_s << 9)
                   | (ch_i << 11))
         packed = jnp.where(t0, 0, packed)
-        ch_ref[i] = packed
+        ch_ref[i] = packed.astype(ch_ref.dtype)   # <= 13 bits, i16-safe
 
         # walk slot word: the chosen predecessor slots (+1; 0 = absent).
         # cs is per (read, k-slot); the A/P predecessor slot depends on
@@ -897,8 +930,8 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref, hd_ref,
             cpaA = jnp.where(ai_a == a, sl_a, cpaA)
             cpaP = jnp.where(ai_p == a, sl_a, cpaP)
         sl_ref[i] = (cs_E.astype(jnp.int32)
-                     | (cpaA.astype(jnp.int32) << 8)
-                     | (cpaP.astype(jnp.int32) << 16))
+                     | (cpaA.astype(jnp.int32) << SLB)
+                     | (cpaP.astype(jnp.int32) << (2 * SLB)))
 
         apEf[...] = jnp.where(is_term, ap_cols[E_ST], apEf[...])
         fwdEf[...] = jnp.where(is_term, fwd_cols[E_ST], fwdEf[...])
@@ -931,8 +964,6 @@ def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, NSS, R, ACK), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, CK, R), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
@@ -955,17 +986,18 @@ def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), jnp.float32),
-            jax.ShapeDtypeStruct((T_pad, RC, CK), jnp.int32),
+            jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), LP_DT),
+            jax.ShapeDtypeStruct((T_pad, RC, CK), CH_DT),
             jax.ShapeDtypeStruct((T_pad, RC, CK), jnp.int32),
             jax.ShapeDtypeStruct((RC, CK), jnp.float32),
             jax.ShapeDtypeStruct((RC, CK), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32)
                         for _ in range(12)],
-        input_output_aliases={6: 0},
+        input_output_aliases={5: 0},
+        compiler_params=_CPAR,
         interpret=interpret,
-    )(packs.nrow, packs.kcol, packs.suc, packs.ksTp, packs.alw, packs.hd,
+    )(packs.nrow, packs.kcol, packs.suc, packs.alw, packs.hd,
       bwd, zcol)
     return lp, ch, sl, apEf, fwdEf
 
@@ -1016,9 +1048,13 @@ def _walk_kernel(nrow_ref, sl_ref, lp_ref, ch_ref, sp_ref,
     def body(i2, _):
         i = C - 1 - i2
         t = (chunk * C + i).astype(jnp.float32)
-        lp_t = jnp.maximum(lp_ref[i], NEG_BIG)          # (640, 128)
-        ch_t = ch_ref[i].astype(jnp.float32)            # (128, 128) < 2^13
-        sl_t = sl_ref[i].astype(jnp.float32)            # (128, 128) < 2^24
+        lp_t = jnp.maximum(lp_ref[i].astype(jnp.float32), NEG_BIG)
+        ch_t = ch_ref[i].astype(jnp.float32)            # (RC, CK) < 2^13
+        # the slot word spans 3*SLB bits (27 at CK=256) — beyond f32's
+        # exact-integer range (2^24), so the one-hot row select runs as
+        # TWO dots on 12-bit/15-bit halves and recombines in int32
+        sl_lo_t = (sl_ref[i] & 0xFFF).astype(jnp.float32)
+        sl_hi_t = (sl_ref[i] >> 12).astype(jnp.float32)
         nr = nrow_ref[i]                                # (NS, 128)
         rs_row = nr[ROW_SAME][None, :]
         rp_row = nr[ROW_PREV][None, :]
@@ -1057,9 +1093,12 @@ def _walk_kernel(nrow_ref, sl_ref, lp_ref, ch_ref, sp_ref,
             Pc = jnp.dot(U2, ch_t, preferred_element_type=jnp.float32,
                          precision=PREC)
             ch = sel(Pc, Vj).astype(jnp.int32)
-            Ps = jnp.dot(U2, sl_t, preferred_element_type=jnp.float32,
-                         precision=PREC)
-            slv = sel(Ps, Vj).astype(jnp.int32)
+            Ps_lo = jnp.dot(U2, sl_lo_t, preferred_element_type=jnp.float32,
+                            precision=PREC)
+            Ps_hi = jnp.dot(U2, sl_hi_t, preferred_element_type=jnp.float32,
+                            precision=PREC)
+            slv = (sel(Ps_lo, Vj).astype(jnp.int32)
+                   | (sel(Ps_hi, Vj).astype(jnp.int32) << 12))
 
             is_I = active & (state == float(I_ST)) & t_pos
             i_break = is_I & (sn == 1.0)
@@ -1096,9 +1135,9 @@ def _walk_kernel(nrow_ref, sl_ref, lp_ref, ch_ref, sp_ref,
             rs = sel(rs_row * U2, jnp.ones((R, 1), jnp.float32))
             rp = sel(rp_row * U2, jnp.ones((R, 1), jnp.float32))
             # predecessor slots from the pv kernel's slot word (+1 coded)
-            cs = ((slv & 255) - 1).astype(jnp.float32)
-            cpaA = (((slv >> 8) & 255) - 1).astype(jnp.float32)
-            cpaP = (((slv >> 16) & 255) - 1).astype(jnp.float32)
+            cs = ((slv & SLM) - 1).astype(jnp.float32)
+            cpaA = (((slv >> SLB) & SLM) - 1).astype(jnp.float32)
+            cpaP = (((slv >> (2 * SLB)) & SLM) - 1).astype(jnp.float32)
             cpa = jnp.where(is_A, cpaA, cpaP)
             chAf = chA.astype(jnp.float32)
             ai = jnp.where(is_A, jnp.floor(chAf / 2.0),
@@ -1196,6 +1235,7 @@ def ntc_walk_pallas(packs: NTCPacks, lp, choices, slots, i0, j0, k0,
             jax.ShapeDtypeStruct((R, 16), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((R, 16), jnp.float32)],
+        compiler_params=_CPAR,
         interpret=interpret,
     )(packs.nrow, slots, lp, choices, sp)
 
@@ -1250,7 +1290,7 @@ def _tl_array(trans_log):
     return jnp.asarray([trans_log[k] for k in TL_KEYS], jnp.float32)
 
 
-def _fwd_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref,
+def _fwd_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref, alw_ref,
                 hd_ref, fwd_ref, fA, fP, fS, fE, fI, *, C, K):
     tl = _tl_from_ref(tl_ref)
     ci = pl.program_id(0)
@@ -1294,7 +1334,7 @@ def _fwd_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref, ksTp_ref, alw_ref,
         ks_cur = kcol_ref[i, K_KS]
         f_same, f_suc = _col_gather(
             [geP_E, geP_I, geP_P, geS_A, geS_P, geS_S, geS_E, geS_I],
-            ksTp_ref[i], _dst_vals(ks_cur, K, "same"),
+            _ksT_of(kcol_ref[i, K_KSP]), _dst_vals(ks_cur, K, "same"),
             _dst_vals(ks_cur, K, "prec"))
 
         a_terms = []
@@ -1351,8 +1391,6 @@ def ntc_fwd_store_pallas(packs: NTCPacks, trans_log,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, NSS, R, ACK), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, CK, R), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
@@ -1362,13 +1400,14 @@ def ntc_fwd_store_pallas(packs: NTCPacks, trans_log,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), jnp.float32),
         scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32) for _ in range(5)],
+        compiler_params=_CPAR,
         interpret=interpret,
-    )(_tl_array(trans_log), packs.nrow, packs.kcol, packs.suc, packs.ksTp,
+    )(_tl_array(trans_log), packs.nrow, packs.kcol, packs.suc,
       packs.alw, packs.hd)
     return out
 
 
-def _train_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref, ksTn_ref, ksT_ref,
+def _train_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref,
                   alw_ref, hd_ref, fwd_ref, z_ref, tacc_ref, em_ref,
                   b0_ref, *scr, C, nc, K):
     tl = _tl_from_ref(tl_ref)
@@ -1435,7 +1474,7 @@ def _train_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref, ksTn_ref, ksT_ref,
 
         ks_cur = kcol_ref[i, K_KS]
         gk_same, gk_suc = _col_gather(
-            [gnsE, gnnS, gnsP, gnnA], ksTn_ref[i],
+            [gnsE, gnnS, gnsP, gnnA], _ksT_of(kcol_ref[i, K_KSN]),
             _dst_vals(ks_cur, K, "same"), _dst_vals(ks_cur, K, "suc"))
         gskE, gnkS = gk_same[0], gk_same[1]
         gspP, gnaA = gk_suc[2], gk_suc[3]
@@ -1546,7 +1585,7 @@ def _train_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref, ksTn_ref, ksT_ref,
         dmu = sig_tm1 - mu_ck
         wd = w * dmu
         wdd = wd * dmu
-        ksT_col = ksT_ref[i]
+        ksT_col = _ksT_of(kcol_ref[i, K_KS])
         for r in range(R):
             oh = (ksT_col[:, r:r + 1] == kiota).astype(jnp.float32)
             x_r = jnp.concatenate(
@@ -1570,10 +1609,10 @@ def _train_kernel(tl_ref, nrow_ref, kcol_ref, suc_ref, ksTn_ref, ksT_ref,
         b0_ref[st_idx * RC:(st_idx + 1) * RC] = st[...]
 
 
-def ntc_train_pallas(packs: NTCPacks, fwd, ksT, Z_norm, trans_log,
+def ntc_train_pallas(packs: NTCPacks, fwd, Z_norm, trans_log,
                      interpret: bool = False):
     """Batched Baum-Welch accumulators. fwd: (T, 640, 128) forward store
-    (ntc_fwd_store_pallas); ksT (T, CK, 16): masked k-mer values
+    (ntc_fwd_store_pallas); the column's masked k-mer values
     slot-major (column t itself). Returns (tacc (13*128, 128) per-cell
     term accumulators in TERMS order, em (3*16, K) centered moment sums
     [w, w*(s-mu_k), w*(s-mu_k)^2] per read, b0 (5*128, 128) backward
@@ -1595,8 +1634,6 @@ def ntc_train_pallas(packs: NTCPacks, fwd, ksT, Z_norm, trans_log,
             pl.BlockSpec((C, NS, RC), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, NKS, R, CK), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, NSS, R, ACK), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, CK, R), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, CK, R), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 5 * RC, CK), rev3, memory_space=pltpu.VMEM),
@@ -1620,14 +1657,10 @@ def ntc_train_pallas(packs: NTCPacks, fwd, ksT, Z_norm, trans_log,
             [pltpu.VMEM((RC, CK), jnp.float32)] * (5 + N_TERMS)
             + [pltpu.VMEM((3 * R, K), jnp.float32)]
         ),
-        # the (C, 640, 128) fwd-store block + 18 scratch accumulators put
-        # this kernel's scoped allocation at 18.4 MB at T_pad=16384 — just
-        # over the 16 MB default scoped-vmem limit (v5e has 128 MB VMEM)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024),
+        compiler_params=_CPAR,
         interpret=interpret,
-    )(_tl_array(trans_log), packs.nrow, packs.kcol, packs.suc, packs.ksTn,
-      ksT, packs.alw, packs.hd, fwd, zcol)
+    )(_tl_array(trans_log), packs.nrow, packs.kcol, packs.suc,
+      packs.alw, packs.hd, fwd, zcol)
     return tacc, em, b0
 
 

@@ -40,6 +40,8 @@ from dynamont_tpu.ops.ntc_batch import (
 
 R = 16  # reads per bucket (sublane axis); see geometry()
 NEG_INF = float(np.float32(-np.inf))
+# raised scoped-VMEM limit (see ops/ntc_pallas._CPAR)
+_CPAR = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
 PREC = jax.lax.Precision.HIGHEST
 C_TN = 8            # t rows per grid step (TN kernels)
 C_TK = 8            # t rows per grid step (TK kernels)
@@ -209,6 +211,7 @@ def pre_tn_pallas(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T_pad, 2, R, N2), jnp.float32),
         scratch_shapes=[pltpu.VMEM((R, N2), jnp.float32)] * 2,
+        compiler_params=_CPAR,
         interpret=interpret,
     )(sigp, tab, rd)
 
@@ -239,6 +242,7 @@ def pre_tn_pallas(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
             jax.ShapeDtypeStruct((R, N2), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((R, N2), jnp.float32)] * 2,
+        compiler_params=_CPAR,
         interpret=interpret,
     )(sigp, tab, rd, fwd)
 
@@ -437,6 +441,7 @@ def pre_tk_pallas(sig, T_r, means, c1, c2, log_m1, log_e2,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T_pad, 2, R, K), jnp.float32),
         scratch_shapes=[pltpu.VMEM((R, K), jnp.float32)] * 2,
+        compiler_params=_CPAR,
         interpret=interpret,
     )(sigp, tab, rd, p4)
 
@@ -467,6 +472,7 @@ def pre_tk_pallas(sig, T_r, means, c1, c2, log_m1, log_e2,
             jax.ShapeDtypeStruct((R, K), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((R, K), jnp.float32)] * 3,
+        compiler_params=_CPAR,
         interpret=interpret,
     )(sigp, tab, rd, p2, bwd)
 

@@ -103,7 +103,7 @@ def test_table_gather_packs_match(setup):
     packs_g = npk.build_kernel_packs(
         s["plan"], s["dims"], s["sigd"], s["N_r"], s["T_r"], s["K"],
         tables=s["tables"], interpret=True)
-    live = (np.asarray(s["packs"].ksT) >= 0).transpose(0, 2, 1)  # (T, 16, CK)
+    live = np.asarray(s["packs"].kcol[:, npk.K_KS]) >= 0  # (T, 16, CK)
     for st in (npk.K_MU, npk.K_C1, npk.K_C2):
         a = np.asarray(s["packs"].kcol[:, st])
         b = np.asarray(packs_g.kcol[:, st])
@@ -456,12 +456,18 @@ def test_wide_geometry_program_matches_scan(setup):
              fn(*args, use_pallas=True, interpret=True, **kw).items()}
     res_s = {k: np.asarray(v) for k, v in
              fn(*args, use_pallas=False, **kw).items()}
-    for key in ("Zf", "Zb", "Zf_tn", "Zb_tn", "Zf_tk", "Zb_tk"):
+    # the wide geometry stores the backward/posterior streams in bf16
+    # (HBM budget, ops/ntc_pallas LP_DT) -> Z to ~|Z|*2^-8, stored
+    # probabilities to ~4e-3; borders/paths come from the same
+    # bf16-noised posteriors and stay equal on non-tied reads
+    np.testing.assert_allclose(res_p["Zf"], res_s["Zf"], atol=5e-4)
+    np.testing.assert_allclose(res_p["Zb"], res_s["Zb"], rtol=5e-3)
+    for key in ("Zf_tn", "Zb_tn", "Zf_tk", "Zb_tk"):
         np.testing.assert_allclose(res_p[key], res_s[key], atol=5e-4)
     for key in ("seg_cnt", "seg_state", "seg_bp", "seg_start", "seg_k"):
         np.testing.assert_array_equal(res_p[key], res_s[key])
     np.testing.assert_allclose(res_p["seg_med"], res_s["seg_med"],
-                               atol=1e-4)
+                               atol=5e-3)
 
 
 @pytest.mark.slow
@@ -490,12 +496,13 @@ def test_engine_wide_rung_runs_kernel_geometry(setup):
     for op, os_ in zip(outputs, outs_s):
         assert op is not None and op.error is None, op
         assert os_.error is None, os_.error
-        assert abs(op.Z - os_.Z) < 1e-3
+        assert abs(op.Z - os_.Z) < 5e-3 * max(1.0, abs(os_.Z))
         assert len(op.segments) == len(os_.segments)
         for gp, gs in zip(op.segments, os_.segments):
             assert (gp[0], gp[1], gp[2], gp[4]) == \
                    (gs[0], gs[1], gs[2], gs[4])
-            assert abs(gp[3] - gs[3]) < 1e-5
+            # wide rung stores posteriors bf16 (see LP_DT): probs ~4e-3
+            assert abs(gp[3] - gs[3]) < 5e-3
 
 
 @pytest.mark.slow
