@@ -118,11 +118,17 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             packs = npk.build_kernel_packs(plan, dims, sigd, N_r, T_r, K,
                                            tables=(mu, c1a, c2a),
                                            interpret=interpret)
-            bwd = npk.ntc_backward_pallas(packs, trans_log,
-                                          interpret=interpret)
-            # wide geometries store the backward stream in bf16 — lift
-            # row 0 back to f32 for the Zb logsumexp
-            bwd0 = (bwd[0].astype(dtype).reshape(5, R, npk.CN, npk.CK)
+            if npk.BWD_CKPT:
+                # wide geometry: checkpointed backward (the full store
+                # would not fit HBM; ops/ntc_pallas BWD_CKPT)
+                bwd = npk.ntc_backward_ckpt_pallas(packs, trans_log,
+                                                   interpret=interpret)
+                b0 = bwd[1]
+            else:
+                bwd = npk.ntc_backward_pallas(packs, trans_log,
+                                              interpret=interpret)
+                b0 = bwd[0]
+            bwd0 = (b0.reshape(5, R, npk.CN, npk.CK)
                     .transpose(1, 0, 2, 3).reshape(R, -1))
             Zb3 = nb.ntc_zb_batch(plan, dims, bwd0)
             lp, choices, slots, apEf, fwdEf = \

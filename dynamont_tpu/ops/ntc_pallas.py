@@ -73,15 +73,28 @@ def _set_geometry(r: int, cn: int, ck: int) -> None:
     C_BWD = max(2, 8 * 128 // ck)   # rows per grid step, backward kernel
     C_PV = max(2, 4 * 128 // ck)    # rows per grid step, pv kernel
     C_WK = max(2, 8 * 128 // ck)    # rows per grid step, walk kernel
+    global BWD_CKPT
+    # Wide geometries (CK > 128) run the backward pass CHECKPOINTED: the
+    # full (T, 5*RC, CK) f32 store is ~10.7 GB at CK=256 T=16k and the
+    # bucket would not fit HBM; instead the backward kernel stores one
+    # (5*RC, CK) state per C_PV rows (~0.7 GB) plus row 0 (for Zb), and
+    # the pv kernel re-derives its chunk's backward rows in-kernel from
+    # the checkpoint (bit-equal: same _bwd_step op order). Viterbi and
+    # posteriors therefore stay exact f32; only the post-normalization
+    # lp STORE is bf16 (reported probabilities ~2^-8 relative, on
+    # overflow-repaired reads only).
+    BWD_CKPT = ck > 128
+    if BWD_CKPT:
+        C_BWD = C_PV = 8
     SLB = ck.bit_length()           # slot-word field width: +1-coded slot
     SLM = (1 << SLB) - 1            # indices reach CK, so ceil(log2(CK+1))
     global LP_DT, CH_DT
     # the packed choice word is <= 13 bits -> i16 store (exact, halves
     # that stream's HBM footprint and bandwidth at every geometry); the
-    # backward/posterior stores stay f32 (bf16 backward flips ~1% of
-    # Viterbi fields — measured; see the checkpointed wide path for the
-    # HBM story)
-    LP_DT = jnp.float32
+    # backward store stays f32 everywhere (bf16 backward flips ~1% of
+    # Viterbi fields — measured), and the posterior STORE is bf16 only
+    # on the checkpointed wide path (see BWD_CKPT above)
+    LP_DT = jnp.bfloat16 if BWD_CKPT else jnp.float32
     CH_DT = jnp.int16
 
 
@@ -582,21 +595,13 @@ def _unpack_hd(hd_i16):
 # backward kernel (ref: NTC.cpp:500-578; XLA: ops/ntc_batch.ntc_backward_batch)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
-                out_ref, stA, stP, stS, stE, stI, *, C, nc, tl, K):
-    ci = pl.program_id(0)
-    chunk = nc - 1 - ci
-
-    @pl.when(ci == 0)
-    def _():
-        for st in (stA, stP, stS, stE, stI):
-            st[...] = jnp.full((RC, CK), NEG_INF, jnp.float32)
-
-    E = _expand16()
-
-    def body(i2, _):
-        i = C - 1 - i2
-        t = chunk * C + i
+def _bwd_step(i, t, nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
+              states, E, tl, K):
+    """One backward row: updates the 5 state scratches and returns the
+    masked per-state outputs (exactly the values the full store holds).
+    Shared by _bwd_kernel and the checkpointed pv re-derivation."""
+    stA, stP, stS, stE, stI = states
+    if True:
         nT = jnp.transpose(nrow_ref[i])                 # (128, NS)
         col = lambda s: nT[:, s:s + 1]
         mu_n, c1_n, c2_n = col(MU_N), col(C1_N), col(C2_N)
@@ -705,12 +710,113 @@ def _bwd_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
             v = jnp.where(is_term, term, jnp.where(dead_r, NEG_INF, v))
             outs.append(v)
         stA[...], stP[...], stS[...], stE[...], stI[...] = outs
+        return outs
+
+
+def _bwd_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
+                out_ref, stA, stP, stS, stE, stI, *, C, nc, tl, K):
+    ci = pl.program_id(0)
+    chunk = nc - 1 - ci
+
+    @pl.when(ci == 0)
+    def _():
+        for st in (stA, stP, stS, stE, stI):
+            st[...] = jnp.full((RC, CK), NEG_INF, jnp.float32)
+
+    E = _expand16()
+
+    def body(i2, _):
+        i = C - 1 - i2
+        t = chunk * C + i
+        outs = _bwd_step(i, t, nrow_ref, kcol_ref, suc_ref, alw_ref,
+                         hd_ref, (stA, stP, stS, stE, stI), E, tl, K)
         for st_idx, v in enumerate(outs):
             out_ref[i, st_idx * RC:(st_idx + 1) * RC] = v.astype(
                 out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, C, body, 0)
+
+
+def _bwd_ckpt_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
+                     ck_ref, row0_ref, stA, stP, stS, stE, stI,
+                     *, C, nc, tl, K):
+    """Checkpointed backward: per chunk, store only the 5-state carry
+    ENTERING the chunk (plus row 0's outputs at the end, for Zb); the pv
+    kernel re-derives the in-chunk rows from these via _bwd_step."""
+    ci = pl.program_id(0)
+    chunk = nc - 1 - ci
+    states = (stA, stP, stS, stE, stI)
+
+    @pl.when(ci == 0)
+    def _():
+        for st in states:
+            st[...] = jnp.full((RC, CK), NEG_INF, jnp.float32)
+
+    # carry entering this chunk (the value the re-derivation starts from)
+    for st_idx, st in enumerate(states):
+        ck_ref[0, st_idx * RC:(st_idx + 1) * RC] = st[...]
+
+    E = _expand16()
+
+    def body(i2, _):
+        i = C - 1 - i2
+        t = chunk * C + i
+        _bwd_step(i, t, nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
+                  states, E, tl, K)
+        return 0
+
+    jax.lax.fori_loop(0, C, body, 0)
+
+    @pl.when(ci == nc - 1)
+    def _():
+        for st_idx, st in enumerate(states):
+            row0_ref[st_idx * RC:(st_idx + 1) * RC] = st[...]
+
+
+def ntc_backward_ckpt_pallas(packs: NTCPacks, trans_log,
+                             interpret: bool = False):
+    """Checkpointed backward pass: returns (ckpts (T/C_PV, 5*RC, CK) f32
+    chunk-entry states, row0 (5*RC, CK) f32 — the t=0 backward outputs,
+    i.e. the full store's row 0)."""
+    T_pad = packs.T_pad
+    C = C_PV                      # checkpoint stride == pv chunk
+    assert T_pad % C == 0
+    nc = T_pad // C
+    tl = {k: np.float32(v) for k, v in trans_log.items()}
+    kernel = functools.partial(_bwd_ckpt_kernel, C=C, nc=nc, tl=tl,
+                               K=packs.K)
+    rev = lambda c: nc - 1 - c
+    ckpts, row0 = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((C, NS, RC), lambda c: (rev(c), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NKS, R, CK), lambda c: (rev(c), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, NSS, R, ACK), lambda c: (rev(c), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (rev(c), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, RC, CK), lambda c: (rev(c), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 5 * RC, CK), lambda c: (rev(c), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5 * RC, CK), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nc, 5 * RC, CK), jnp.float32),
+            jax.ShapeDtypeStruct((5 * RC, CK), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32) for _ in range(5)],
+        compiler_params=_CPAR,
+        interpret=interpret,
+    )(packs.nrow, packs.kcol, packs.suc, packs.alw, packs.hd)
+    return ckpts, row0
 
 
 def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
@@ -739,7 +845,7 @@ def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((C, 5 * RC, CK), lambda c: (rev(c), 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), LP_DT),
+        out_shape=jax.ShapeDtypeStruct((T_pad, 5 * RC, CK), jnp.float32),
         scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32) for _ in range(5)],
         compiler_params=_CPAR,
         interpret=interpret,
@@ -755,7 +861,7 @@ def ntc_backward_pallas(packs: NTCPacks, trans_log, interpret: bool = False):
 def _pv_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
                bwd_ref, z_ref, lp_ref, ch_ref, sl_ref, apEf_ref, fwdEf_ref,
                fA, fP, fS, fE, fI, vA, vP, vS, vE, vI, apEf, fwdEf,
-               *, C, tl, K):
+               *scr, C, nc, tl, K, ckpt):
     ci = pl.program_id(0)
 
     @pl.when(ci == 0)
@@ -765,6 +871,31 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
 
     E = _expand16()
     zcol = z_ref[...]                                    # (128, 1)
+
+    if ckpt:
+        # re-derive this chunk's backward rows from its entry checkpoint
+        # (bwd_ref is the (1, 5*RC, CK) checkpoint block): identical
+        # _bwd_step op order -> bit-equal to the full store, f32 all the
+        # way into the Viterbi below
+        bstates = scr[:5]
+        bwd_buf = scr[5]
+        for st_idx, st in enumerate(bstates):
+            st[...] = bwd_ref[0, st_idx * RC:(st_idx + 1) * RC]
+
+        def bbody(i2, _):
+            i = C - 1 - i2
+            t = ci * C + i
+            outs = _bwd_step(i, t, nrow_ref, kcol_ref, suc_ref, alw_ref,
+                             hd_ref, bstates, E, tl, K)
+            for st_idx, v in enumerate(outs):
+                bwd_buf[i, st_idx * RC:(st_idx + 1) * RC] = v
+            return 0
+
+        jax.lax.fori_loop(0, C, bbody, 0)
+        bwd_row = lambda i, st: bwd_buf[i, st * RC:(st + 1) * RC]
+    else:
+        bwd_row = lambda i, st: bwd_ref[
+            i, st * RC:(st + 1) * RC].astype(jnp.float32)
 
     def body(i, _):
         t = ci * C + i
@@ -853,7 +984,7 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
         lps = []
         mx = jnp.full((RC, 1), NEG_INF, jnp.float32)
         for st in range(5):
-            bwd_st = bwd_ref[i, st * RC:(st + 1) * RC].astype(jnp.float32)
+            bwd_st = bwd_row(i, st)
             lp_st = fwd_cols[st] + bwd_st - zcol
             lps.append(lp_st)
             mx = jnp.maximum(mx, jnp.max(lp_st, axis=1, keepdims=True))
@@ -944,16 +1075,35 @@ def _pv_kernel(nrow_ref, kcol_ref, suc_ref, alw_ref, hd_ref,
 
 def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
                                  interpret: bool = False):
-    """Returns (lp (T, 640, 128) — written over `bwd`'s buffer, choices
-    (T, 128, 128) int32, slots (T, 128, 128) int32 walk predecessor
-    slots, apE_final (128, 128), fwdE_final (128, 128))."""
+    """Returns (lp (T, 5*RC, CK) LP_DT — written over `bwd`'s buffer on
+    the full-store path, choices (T, RC, CK) CH_DT, slots (T, RC, CK)
+    int32 walk predecessor slots, apE_final, fwdE_final (RC, CK) f32).
+    `bwd`: the (T, 5*RC, CK) full store, or on BWD_CKPT geometries the
+    (ckpts, row0) pair from ntc_backward_ckpt_pallas (row0 unused
+    here)."""
     T_pad = packs.T_pad
     C = C_PV
     assert T_pad % C == 0
     nc = T_pad // C
     tl = {k: np.float32(v) for k, v in trans_log.items()}
-    kernel = functools.partial(_pv_kernel, C=C, tl=tl, K=packs.K)
+    kernel = functools.partial(_pv_kernel, C=C, nc=nc, tl=tl, K=packs.K,
+                               ckpt=BWD_CKPT)
     zcol = jnp.repeat(Z_norm.astype(jnp.float32), CN)[:, None]  # (128, 1)
+    if BWD_CKPT:
+        bwd_in = bwd[0]           # (nc, 5*RC, CK) chunk-entry states
+        bwd_spec = pl.BlockSpec((1, 5 * RC, CK), lambda c: (c, 0, 0),
+                                memory_space=pltpu.VMEM)
+        scratches = (
+            [pltpu.VMEM((RC, CK), jnp.float32) for _ in range(17)]
+            + [pltpu.VMEM((C, 5 * RC, CK), jnp.float32)]
+        )
+        aliases = {}
+    else:
+        bwd_in = bwd
+        bwd_spec = pl.BlockSpec((C, 5 * RC, CK), lambda c: (c, 0, 0),
+                                memory_space=pltpu.VMEM)
+        scratches = [pltpu.VMEM((RC, CK), jnp.float32) for _ in range(12)]
+        aliases = {5: 0}
     lp, ch, sl, apEf, fwdEf = pl.pallas_call(
         kernel,
         grid=(nc,),
@@ -968,8 +1118,7 @@ def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, RC, CK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 5 * RC, CK), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
+            bwd_spec,
             pl.BlockSpec((RC, 1), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -992,13 +1141,12 @@ def ntc_posterior_viterbi_pallas(packs: NTCPacks, bwd, Z_norm, trans_log,
             jax.ShapeDtypeStruct((RC, CK), jnp.float32),
             jax.ShapeDtypeStruct((RC, CK), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((RC, CK), jnp.float32)
-                        for _ in range(12)],
-        input_output_aliases={5: 0},
+        scratch_shapes=scratches,
+        input_output_aliases=aliases,
         compiler_params=_CPAR,
         interpret=interpret,
     )(packs.nrow, packs.kcol, packs.suc, packs.alw, packs.hd,
-      bwd, zcol)
+      bwd_in, zcol)
     return lp, ch, sl, apEf, fwdEf
 
 
