@@ -50,7 +50,6 @@ from dynamont_tpu.ops import nt_banded_batch as bb
 from dynamont_tpu.ops.nt_banded_pallas import (
     G_BLOCK,
     NEG_INF,
-    _backward_t,
     _forward_t,
     _iota_f,
     _pack_rows,
@@ -59,6 +58,8 @@ from dynamont_tpu.ops.nt_banded_pallas import (
     _round_up,
     _shift_left,
     _shift_right,
+    _trans_lanes,
+    _validf,
 )
 
 CHUNK_TRAIN = 128
@@ -67,122 +68,144 @@ PREC = jax.lax.Precision.HIGHEST
 
 
 # ---------------------------------------------------------------------------
-# transition-parameter kernel (newM1 / newE2 numerators)
+# fused backward + transition-parameter kernel (newM1 / newE2 numerators)
 # ---------------------------------------------------------------------------
 
-def _train_trans_kernel(scal_ref, rows_ref, fe_ref, bm_ref, be_ref,
-                        w0mu_ref, w0c1_ref, w0c2_ref,
-                        accM1_ref, accE2_ref, accM1e_ref, accE2e_ref,
-                        wmu, wc1, wc2, cm1, ce2,
-                        sm1, se2, *, B, C, G, log_m1, log_e2):
-    """Accumulate the m1/e2 logsumexp terms (ref: NT_banded.cpp:303-371).
+def _fold_online(max_ref, sum_ref, chunk_log):
+    """Fold a log-space chunk accumulator into a running ONLINE
+    logsumexp (per-lane max + exp-sum): rescale by exp(old_max -
+    new_max) — ~1 ulp of relative error per fold instead of a log-space
+    logaddexp chain."""
+    m_old = max_ref[...]
+    m_new = jnp.maximum(m_old, chunk_log)
+    live = m_new > -1e30
+    scale = jnp.where(live, jnp.exp(m_old - jnp.where(live, m_new, 0.0)),
+                      0.0)
+    add = jnp.where(chunk_log > -1e30,
+                    jnp.exp(chunk_log - jnp.where(live, m_new, 0.0)), 0.0)
+    max_ref[...] = m_new
+    sum_ref[...] = sum_ref[...] * scale + add
 
-    Row t contributes forE[t] + log_a + score + shifted-backward[t+1];
-    scores at position n (sc_a) and n-1 (sc_b) come from the sliding
-    model window (offset -2, exactly the forward kernel's window; sc_a
-    is its left-shift with one entering element from the row pack).
+
+def _bwd_train_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
+                      fe_ref, M_out, E_out, accM1_ref, accE2_ref,
+                      accM1e_ref, accE2e_ref, cM, cE, wmu, wc1, wc2,
+                      cm1, ce2, sm1, se2, *, B, C, G, nc):
+    """nt_banded_pallas._bwd_kernel + fused m1/e2 accumulation.
+
+    The m1/e2 numerator terms (ref: NT_banded.cpp:303-371) at row t are
+    forE[t] + log_a + score + shifted-backward[t+1] — and this kernel
+    HOLDS backward row t+1 in scratch (cM/cE before the update) and has
+    just computed the very sc_a/sc_b scores the terms need, so the
+    accumulation rides the backward pass for one streamed fe input
+    instead of a separate full pass re-deriving the window. Row lane 6
+    carries the QUIRKED next-shift flag (the reference's t = T-2
+    tracker bug compares against row 0, NT_banded.cpp:309), used only
+    by the accumulation; the recurrence keeps the true shift.
+
+    Accumulation: 8-row sub-accs -> per-chunk log acc -> online
+    exp-space fold (see _fold_online); error scales with SUB + C/SUB.
     """
-    c = pl.program_id(1)
+    c = pl.program_id(1)  # chunk counter; chunk c covers rows from the END
     bw = scal_ref[:, 0:1]
     N = scal_ref[:, 1:2]
-    Tr = scal_ref[:, 2:3]
+    T = scal_ref[:, 2:3]
+    log_m1 = scal_ref[:, 3:4]
+    log_e2 = scal_ref[:, 4:5]
     jf = _iota_f((1, B), 1)
 
     @pl.when(c == 0)
     def _():
-        # running ONLINE logsumexp per lane: max in accM1/accE2, exp-sum
-        # (relative to that max) in accM1e/accE2e
+        cM[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+        cE[...] = jnp.full((G, B), NEG_INF, jnp.float32)
+        wmu[...] = w0mu_ref[...]
+        wc1[...] = w0c1_ref[...]
+        wc2[...] = w0c2_ref[...]
         accM1_ref[...] = jnp.full((G, B), NEG_INF, jnp.float32)
         accE2_ref[...] = jnp.full((G, B), NEG_INF, jnp.float32)
         accM1e_ref[...] = jnp.zeros((G, B), jnp.float32)
         accE2e_ref[...] = jnp.zeros((G, B), jnp.float32)
-        wmu[...] = w0mu_ref[...]
-        wc1[...] = w0c1_ref[...]
-        wc2[...] = w0c2_ref[...]
 
-    # three-level accumulation: rows fold into an 8-row SUB-accumulator
-    # (log space), sub-accs fold into the chunk accumulator (log space),
-    # chunks fold into the running total ONLINE in exp space (rescale by
-    # exp(old_max - new_max): ~1 ulp of relative error per chunk instead
-    # of a log-space logaddexp chain). Sequential log-space error scales
-    # with SUB + C/SUB instead of C + nc (fp32 m1/e2 drift at 24x16k:
-    # ~4e-3 two-level -> ~2e-4).
     cm1[...] = jnp.full((G, B), NEG_INF, jnp.float32)
     ce2[...] = jnp.full((G, B), NEG_INF, jnp.float32)
     sm1[...] = jnp.full((G, B), NEG_INF, jnp.float32)
     se2[...] = jnp.full((G, B), NEG_INF, jnp.float32)
 
-    def body(i, _):
-        t = c * C + i
-        row = rows_ref[i]                      # (G, 10)
+    def body(k, _):
+        i = C - 1 - k  # in-chunk row, descending
+        t = (nc - 1 - c) * C + i
+        tf = jnp.float32(1.0) * t
+        row = rows_ref[i]
         sig = row[:, 0:1]
-        s1 = row[:, 1:2] == 1.0                # window shift at row t
-        s_next = row[:, 2:3] == 1.0            # band shift between t, t+1
-        emu = row[:, 3:4]
-        ec1 = row[:, 4:5]
-        ec2 = row[:, 5:6]
-        eamu = row[:, 6:7]
-        eac1 = row[:, 7:8]
-        eac2 = row[:, 8:9]
-        bs = row[:, 9:10]
-        w_mu = jnp.where(s1, _shift_left(wmu[...], emu), wmu[...])
-        w_c1 = jnp.where(s1, _shift_left(wc1[...], ec1), wc1[...])
-        w_c2 = jnp.where(s1, _shift_left(wc2[...], ec2), wc2[...])
+        sb = row[:, 1:2] == 1.0
+        emu = row[:, 2:3]
+        ec1 = row[:, 3:4]
+        ec2 = row[:, 4:5]
+        bs = row[:, 5:6]
+        snq = row[:, 6:7] == 1.0
+        live = tf < T - 1.0
+        term = tf == T - 1.0
+        upd = sb & live
+        w_mu = jnp.where(upd, _shift_right(wmu[...], emu), wmu[...])
+        w_c1 = jnp.where(upd, _shift_right(wc1[...], ec1), wc1[...])
+        w_c2 = jnp.where(upd, _shift_right(wc2[...], ec2), wc2[...])
         wmu[...] = w_mu
         wc1[...] = w_c1
         wc2[...] = w_c2
-        d = sig - w_mu
-        sc_b = w_c1 - w_c2 * d * d             # score at position n-1
-        da = sig - eamu
-        fill_a = eac1 - eac2 * da * da
-        sc_a = _shift_left(sc_b, fill_a)       # score at position n
+        d_b = sig - w_mu
+        full_b = w_c1 - w_c2 * d_b * d_b  # window is (G, B+1): sc_b/sc_a
+        sc_b = full_b[:, :B]
+        sc_a = full_b[:, 1:]
+        n = bs + jf - 1.0
+        M_next = cM[...]
+        E_next = cE[...]
+
+        # ---- fused m1/e2 terms (backward rows t+1 = M_next/E_next) ----
         fE = fe_ref[i]
-        bM_next = bm_ref[i]                    # backM[t+1] (pre-shifted wire)
-        bE_next = be_ref[i]
-        bM_sh = jnp.where(s_next, bM_next, _shift_left(bM_next, NEG_INF))
-        bE_sh = jnp.where(s_next, _shift_right(bE_next, NEG_INF), bE_next)
-        nf = bs - 1.0 + jf                     # (G, B) absolute position
-        live = t.astype(jnp.float32) < Tr - 1.0  # (G, 1)
-        m1_t = jnp.where(live & (nf + 1.0 < N),
-                         fE + log_m1 + sc_a + bM_sh, NEG_INF)
-        e2_t = jnp.where(live & (nf > 0.0),
-                         fE + log_e2 + sc_b + bE_sh, NEG_INF)
+        bMq = jnp.where(snq, M_next, _shift_left(M_next, NEG_INF))
+        bEq = jnp.where(snq, _shift_right(E_next, NEG_INF), E_next)
+        m1_t = jnp.where(live & (n + 1.0 < N),
+                         fE + log_m1 + sc_a + bMq, NEG_INF)
+        e2_t = jnp.where(live & (n > 0.0),
+                         fE + log_e2 + sc_b + bEq, NEG_INF)
         sm1[...] = jnp.logaddexp(sm1[...], m1_t)
         se2[...] = jnp.logaddexp(se2[...], e2_t)
 
-        @pl.when(i % SUB_TRAIN == SUB_TRAIN - 1)
+        @pl.when(k % SUB_TRAIN == SUB_TRAIN - 1)
         def _():
             cm1[...] = jnp.logaddexp(cm1[...], sm1[...])
             ce2[...] = jnp.logaddexp(ce2[...], se2[...])
             sm1[...] = jnp.full((G, B), NEG_INF, jnp.float32)
             se2[...] = jnp.full((G, B), NEG_INF, jnp.float32)
 
+        # ---- backward recurrence (identical to _bwd_kernel) ----
+        E_n = jnp.where(sb, _shift_right(E_next, NEG_INF), E_next)
+        M_n = jnp.where(sb, M_next, _shift_left(M_next, NEG_INF))
+        ext = jnp.where(n + 1.0 < N, M_n + sc_a + log_m1, NEG_INF)
+        has_prev = n > 0.0
+        M_cmp = jnp.where(has_prev, E_n + sc_b, NEG_INF)
+        ext = jnp.where(
+            has_prev, jnp.logaddexp(ext, E_n + sc_b + log_e2), ext
+        )
+        valid = _validf(jf, bs, bw, N, lower_one=False)
+        M_cmp = jnp.where(valid, M_cmp, NEG_INF)
+        E_cmp = jnp.where(valid, ext, NEG_INF)
+        termE = jnp.where(jf == bw + 1.0, 0.0, NEG_INF)
+        neg = jnp.full((G, B), NEG_INF, jnp.float32)
+        cM[...] = jnp.where(live, M_cmp, jnp.where(term, neg, cM[...]))
+        cE[...] = jnp.where(live, E_cmp, jnp.where(term, termE, cE[...]))
+        M_out[i] = jnp.where(live, M_cmp, neg)
+        E_out[i] = jnp.where(live, E_cmp, jnp.where(term, termE, neg))
         return 0
 
     jax.lax.fori_loop(0, C, body, 0)
-
-    def fold_online(max_ref, sum_ref, chunk_log):
-        m_old = max_ref[...]
-        m_new = jnp.maximum(m_old, chunk_log)
-        live = m_new > -1e30
-        scale = jnp.where(live, jnp.exp(m_old - jnp.where(live, m_new, 0.0)),
-                          0.0)
-        add = jnp.where(chunk_log > -1e30,
-                        jnp.exp(chunk_log - jnp.where(live, m_new, 0.0)), 0.0)
-        max_ref[...] = m_new
-        sum_ref[...] = sum_ref[...] * scale + add
-
-    fold_online(accM1_ref, accM1e_ref, cm1[...])
-    fold_online(accE2_ref, accE2e_ref, ce2[...])
-    del bw  # band validity is already encoded in the NEG_INF rows
+    _fold_online(accM1_ref, accM1e_ref, cm1[...])
+    _fold_online(accE2_ref, accE2e_ref, ce2[...])
 
 
-def _train_trans_wire(batch: bb.BandedBatch, Rp: int, Tc: int):
-    """Row pack for the transitions kernel: signal aligned so row t holds
-    sig[t] (the sample emitted on the t -> t+1 transition), window-shift
-    and next-row band-shift flags (incl. the reference's t = T-2 tracker
-    quirk, ref NT_banded.cpp:309), window-entering model values for
-    offsets -2 (window advance) and -1+B-1 (sc_a fill), and bstart."""
+def _bwd_train_wire(batch: bb.BandedBatch, Rp: int, Tc: int, log_m1,
+                    log_e2):
+    """_bwd_wire + the quirked next-shift lane (see _bwd_train_kernel)."""
     R, Tm1 = batch.sig.shape
     T_pad = Tm1 + 1
     B = batch.B
@@ -193,49 +216,40 @@ def _train_trans_wire(batch: bb.BandedBatch, Rp: int, Tc: int):
     bs_all = _pad_reads(batch.bstart.astype(jnp.int32), Rp)
     T_r = _pad_reads(batch.T.astype(jnp.int32), Rp)
 
-    # row t uses sig[t] directly (train terms index signal by source row)
     sig_r = jnp.concatenate(
         [sig, jnp.zeros((Rp, Tc - T_pad + 1), jnp.float32)], axis=1)[:, :Tc]
-    s1 = jnp.concatenate(
-        [jnp.zeros((Rp, 1), jnp.int32),
-         (bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32)], axis=1)
-    sn = jnp.concatenate(
+    sb = jnp.concatenate(
         [(bs_all[:, 1:] != bs_all[:, :-1]).astype(jnp.int32),
-         jnp.zeros((Rp, 1), jnp.int32)], axis=1)
+         jnp.zeros((Rp, 1), jnp.int32)], axis=1)  # shift between t and t+1
     # reference tracker bug: at t = T-2 the shift compares against row 0
     idx_last = jnp.clip(T_r - 2, 0, T_pad - 1)[:, None]
     s_last = (jnp.take_along_axis(bs_all, idx_last, axis=1)
               != bs_all[:, :1]).astype(jnp.int32)
     t_ar = jnp.arange(T_pad)[None, :]
-    sn = jnp.where(t_ar == (T_r[:, None] - 2), s_last, sn)
+    snq = jnp.where(t_ar == (T_r[:, None] - 2), s_last, sb)
 
-    enter_b = bs_all + (B + batch.pad - 3)     # window-advance element
-    enter_a = bs_all + (B + batch.pad - 2)     # sc_a fill element
-    gat = lambda tbl, idx: jnp.take_along_axis(tbl, idx, axis=1)
-    e_mu, e_c1, e_c2 = (gat(mu_pad, enter_b), gat(c1_pad, enter_b),
-                        gat(c2_pad, enter_b))
-    ea_mu, ea_c1, ea_c2 = (gat(mu_pad, enter_a), gat(c1_pad, enter_a),
-                           gat(c2_pad, enter_a))
+    enter_idx = bs_all + (batch.pad - 2)
+    gather = lambda tbl: jnp.take_along_axis(tbl, enter_idx, axis=1)
+    e_mu, e_c1, e_c2 = gather(mu_pad), gather(c1_pad), gather(c2_pad)
     w0 = lambda tbl: jax.vmap(
-        lambda arr, st: jax.lax.dynamic_slice(arr, (st,), (B,))
-    )(tbl, bs_all[:, 0] - 2 + batch.pad)
+        lambda arr, st: jax.lax.dynamic_slice(arr, (st,), (B + 1,))
+    )(tbl, bs_all[:, T_pad - 1] - 2 + batch.pad)
     w0mu, w0c1, w0c2 = w0(mu_pad), w0(c1_pad), w0(c2_pad)
 
     pad_t = lambda a: jnp.pad(a, ((0, 0), (0, Tc - T_pad)))
-    rows = _pack_rows(sig_r, pad_t(s1), pad_t(sn), pad_t(e_mu), pad_t(e_c1),
-                      pad_t(e_c2), pad_t(ea_mu), pad_t(ea_c1), pad_t(ea_c2),
-                      pad_t(bs_all))
+    rows = _pack_rows(sig_r, pad_t(sb), pad_t(e_mu), pad_t(e_c1),
+                      pad_t(e_c2), pad_t(bs_all), pad_t(snq))
+    lm, le = _trans_lanes(log_m1, log_e2, Rp)
     scal = _pack_scal(_pad_reads(batch.bw, Rp), _pad_reads(batch.N, Rp),
-                      _pad_reads(batch.T, Rp))
+                      _pad_reads(batch.T, Rp), lm, le)
     return rows, scal, w0mu, w0c1, w0c2
 
 
-def transitions_pallas(batch: bb.BandedBatch, forE, backM, backE,
-                       interpret: bool = False):
-    """Per-read (newM1, newE2) in log space, normalized like the scan path.
-
-    forE/backM/backE are the T-major (Tc, Rp, B) Pallas DP outputs.
-    """
+def backward_transitions_pallas(batch: bb.BandedBatch, forE, log_m1,
+                                log_e2, interpret: bool = False):
+    """Fused backward + m1/e2 accumulation: returns (backM, backE,
+    rawM1, rawE2) with the raw per-read log numerators normalized like
+    the scan path outside."""
     R, Tm1 = batch.sig.shape
     T_pad = Tm1 + 1
     B = batch.B
@@ -246,39 +260,46 @@ def transitions_pallas(batch: bb.BandedBatch, forE, backM, backE,
     Tc = nc * C
     if forE.shape != (Tc, Rp, B):
         raise ValueError(f"forE shape {forE.shape} != {(Tc, Rp, B)}")
-    rows, scal, w0mu, w0c1, w0c2 = _train_trans_wire(batch, Rp, Tc)
+    rows, scal, w0mu, w0c1, w0c2 = _bwd_train_wire(batch, Rp, Tc, log_m1,
+                                                   log_e2)
 
-    neg_row = jnp.full((1, Rp, B), NEG_INF, jnp.float32)
-    bm_next = jnp.concatenate([backM[1:], neg_row], axis=0)
-    be_next = jnp.concatenate([backE[1:], neg_row], axis=0)
-
-    kernel = functools.partial(
-        _train_trans_kernel, B=B, C=C, G=G,
-        log_m1=np.float32(0.0), log_e2=np.float32(0.0),
-    )
-    # log_m1/log_e2 enter every term once; fold them in afterwards instead
-    # of re-specializing the kernel per transition value
+    kernel = functools.partial(_bwd_train_kernel, B=B, C=C, G=G, nc=nc)
+    rev3 = lambda r, c: (nc - 1 - c, r, 0)
     scal_spec = pl.BlockSpec((G, scal.shape[1]), lambda r, c: (r, 0),
                              memory_space=pltpu.VMEM)
-    rows_spec = pl.BlockSpec((C, G, rows.shape[2]), lambda r, c: (c, r, 0),
+    rows_spec = pl.BlockSpec((C, G, rows.shape[2]), rev3,
                              memory_space=pltpu.VMEM)
-    w0_spec = pl.BlockSpec((G, B), lambda r, c: (r, 0),
+    w0_spec = pl.BlockSpec((G, B + 1), lambda r, c: (r, 0),
                            memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((C, G, B), lambda r, c: (c, r, 0),
-                            memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((C, G, B), rev3, memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((G, B), lambda r, c: (r, 0),
                             memory_space=pltpu.VMEM)
-    accM1, accE2, accM1e, accE2e = pl.pallas_call(
+    M, E, accM1, accE2, accM1e, accE2e = pl.pallas_call(
         kernel,
         grid=(Rp // G, nc),
-        in_specs=[scal_spec, rows_spec, mat_spec, mat_spec, mat_spec,
-                  w0_spec, w0_spec, w0_spec],
-        out_specs=(acc_spec, acc_spec, acc_spec, acc_spec),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((Rp, B), jnp.float32) for _ in range(4)),
-        scratch_shapes=[pltpu.VMEM((G, B), jnp.float32) for _ in range(7)],
+        in_specs=[scal_spec, rows_spec, w0_spec, w0_spec, w0_spec,
+                  mat_spec],
+        out_specs=(mat_spec, mat_spec, acc_spec, acc_spec, acc_spec,
+                   acc_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tc, Rp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Rp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, B), jnp.float32),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((G, B), jnp.float32) for _ in range(2)]
+            + [pltpu.VMEM((G, B + 1), jnp.float32) for _ in range(3)]
+            + [pltpu.VMEM((G, B), jnp.float32) for _ in range(4)]
+        ),
+        # streamed fe + M/E blocks at C=128, G=16 exceed the 16 MB
+        # default scoped-vmem limit (v5e has 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(scal, rows, forE, bm_next, be_next, w0mu, w0c1, w0c2)
+    )(scal, rows, w0mu, w0c1, w0c2, forE)
 
     def _lse(mx, es):
         # per-lane log value from the online (max, exp-sum) pair, then
@@ -287,10 +308,10 @@ def transitions_pallas(batch: bb.BandedBatch, forE, backM, backE,
                         NEG_INF)
         m = jnp.max(acc, axis=1)
         safe = jnp.where(jnp.isfinite(m), m, 0.0)
-        s = jnp.log(jnp.sum(jnp.exp(acc - safe[:, None]), axis=1))
-        return jnp.where(jnp.isfinite(m), s + safe, m)
+        ssum = jnp.log(jnp.sum(jnp.exp(acc - safe[:, None]), axis=1))
+        return jnp.where(jnp.isfinite(m), ssum + safe, m)
 
-    return _lse(accM1, accM1e)[:R], _lse(accE2, accE2e)[:R]
+    return M, E, _lse(accM1, accM1e)[:R], _lse(accE2, accE2e)[:R]
 
 
 # ---------------------------------------------------------------------------
@@ -410,17 +431,17 @@ def _banded_batch_train_fast_impl(batch, log_m1, log_e2, kmer_ids_pad,
     R, Tm1 = batch.sig.shape
     B = batch.B
     forM, forE = _forward_t(batch, log_m1, log_e2, interpret=interpret)
-    backM, backE = _backward_t(batch, log_m1, log_e2, interpret=interpret)
+    backM, backE, rawM1, rawE2 = backward_transitions_pallas(
+        batch, forE, log_m1, log_e2, interpret=interpret)
 
     r_ar = jnp.arange(R)
     ctr = batch.bw + 1
     Zf = forE[batch.T - 1, r_ar, ctr]
     Zb = backE[jnp.zeros_like(r_ar), r_ar, ctr]
-
-    rawM1, rawE2 = transitions_pallas(batch, forE, backM, backE,
-                                      interpret=interpret)
-    newM1 = rawM1 + jnp.asarray(log_m1, jnp.float32)
-    newE2 = rawE2 + jnp.asarray(log_e2, jnp.float32)
+    # the fused kernel already adds log_m1/log_e2 to every term (they
+    # ride the scal lanes its recurrence itself consumes)
+    newM1 = rawM1
+    newE2 = rawE2
     Ae = jnp.logaddexp(newE2, newM1)
     fin = jnp.isfinite(Ae)
     newM1 = jnp.where(fin, newM1 - Ae, newM1)
