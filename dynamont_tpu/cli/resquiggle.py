@@ -198,8 +198,10 @@ def _pump_engine(args, eng, jobs, writer, rna, model, err_prefix: str):
     CHUNK = args.batch_size * 4
     # rolling window: up to INFLIGHT chunks dispatched ahead of collection
     # (queued launches hold only their input/output buffers — the DP
-    # working set is per-launch — so the HBM cost of depth 2 is small)
-    INFLIGHT = 2
+    # working set is per-launch — so the HBM cost of a deep window is
+    # small). Depth 3 x 8 buckets rides out the host<->device link's
+    # per-bucket transfer latency (~100 ms on the tunnel)
+    INFLIGHT = 3
     window: deque = deque()
 
     def emit(outs):
