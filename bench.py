@@ -224,9 +224,13 @@ def bench_banded_ragged(model, metrics):
         max_batch_samples=2**22, t_pad_to=2048,
     )
     eng.run(items)  # warm every bucket shape
-    t0 = time.perf_counter()
-    outs = eng.run(items)
-    dt = time.perf_counter() - t0
+    # best of 3 like the headline metric: the tunnel link's run-to-run
+    # noise (±15%+) otherwise dominates round-over-round comparisons
+    dt = 1e18
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = eng.run(items)
+        dt = min(dt, time.perf_counter() - t0)
     n_ok = sum(1 for o in outs if o.error is None)
     total = sum(len(it.signal) for it in items)
     print(f"banded ragged: {n_ok}/{len(outs)} reads, {len(list(eng._buckets(items)))} "
@@ -422,10 +426,12 @@ def bench_train(model, items, metrics):
     )
     out = step(sbatch, skid)  # warmup/compile
     _force(out.pooled.n_valid)
-    t0 = time.perf_counter()
-    out = step(sbatch, skid)
-    _force(out.pooled.n_valid)
-    dt = time.perf_counter() - t0
+    dt = 1e18
+    for _ in range(3):  # best of 3 (tunnel noise; see bench_banded)
+        t0 = time.perf_counter()
+        out = step(sbatch, skid)
+        _force(out.pooled.n_valid)
+        dt = min(dt, time.perf_counter() - t0)
     reads_per_s = n_real / dt
     print(f"train: {n_real} reads/step in {dt:.2f}s", file=sys.stderr)
     metrics.append({

@@ -76,10 +76,23 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
                 sig, kmer_ids, N_r, T_r, mu, sd, log_ppm, log_ppe, CN,
                 interpret=interpret,
             )
-            pk = npp.pre_tk_pallas(
-                sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0,
-                interpret=interpret,
-            )
+            if K > 4096:
+                # native big-K (9-mer): the dense TK pre-pass kernels
+                # need (K, K/A) permutation matrices — impossible at
+                # K=4^9; the checkpoint-recompute SCAN pre-pass feeds
+                # the (K-generic) Mosaic lattice kernels instead
+                import math as _math
+
+                chunk = _math.gcd(sig.shape[1] + 1, 128)
+                pk = nb.pre_tk_batch_ckpt(
+                    sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0,
+                    jnp.float32, chunk=chunk,
+                )
+            else:
+                pk = npp.pre_tk_pallas(
+                    sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0,
+                    interpret=interpret,
+                )
         else:
             pn = nb.pre_tn_batch(
                 sig, kmer_ids, N_r, T_r, mu, sd, log_ppm, log_ppe, CN, dtype
@@ -371,24 +384,30 @@ class NTCBatchEngine:
     ):
         if model.kmer_size > 5 and native_kmer:
             # native big-K mode (ref: NTC_main.cpp:95-99 runs K=4^9
-            # directly): the scan path is K-generic; above ~1 GB of TK
-            # lattice per read it switches to the checkpoint-recompute
-            # pre-pass + eq-broadcast plan (ops/ntc_batch
-            # pre_tk_batch_ckpt, _build_plan_one bigk — both bit-equal
-            # to the dense forms), which carries a production-length
-            # T=16k read at K=4^9 in ~2 GB. Buckets run one read at a
-            # time. Polish calls come out as true 9-mers. The Mosaic
-            # kernel geometry is 5-mer-only.
-            if pallas:
-                raise ValueError("native >5-mer NTC requires the scan path"
-                                 " (pallas=False)")
-            pallas = False
-            if batch_size == 16:  # default -> big-K-safe bucket geometry
-                batch_size = 2
-            # two T=16k reads per bucket: ~6 GB of checkpoint + eq-plan
-            # state at K=4^9 fp32; the scan cost is per-STEP-bound, so
-            # R=2 is ~2x the reads/s of R=1
-            max_batch_samples = min(max_batch_samples, 36864)
+            # directly). The LATTICE Mosaic kernels are K-generic (pure
+            # k-mer VALUE arithmetic, exact in f32 below 2^24), so on
+            # TPU the kernel path carries native 9-mer at the standard
+            # (16, 8, 128) geometry; only the TK pre-pass runs as the
+            # checkpoint-recompute scan (the dense-K pre kernels need
+            # (K, K/A) permutation matrices) and the model-table gathers
+            # switch from MXU one-hots to XLA takes (see
+            # ops/ntc_pallas.build_kernel_packs). Scan engines keep the
+            # R=2 buckets: the per-STEP-bound scan path gains little
+            # from more reads while the checkpoint state is ~3 GB/read.
+            if pallas is None:
+                import os
+
+                env = os.environ.get("DYNAMONT_NTC_PALLAS", "auto")
+                pallas = (
+                    env != "0"
+                    and (env == "1"
+                         or jax.devices()[0].platform in ("tpu", "axon"))
+                    and jnp.dtype(dtype) == jnp.float32
+                )
+            if not pallas:
+                if batch_size == 16:  # default -> big-K-safe geometry
+                    batch_size = 2
+                max_batch_samples = min(max_batch_samples, 36864)
         elif model.kmer_size > 5:
             # documented 9-mer fallback: NTC runs on the reduced 5-mer
             # tables (utils.pore_model.reduce_model_to_5mer; the dense TK
@@ -768,7 +787,11 @@ class NTCBatchEngine:
         kernel path instead of the ~50x-slower per-step XLA scan. Scan
         engines keep the scan rung at (16, 256). Returns the reads that
         still overflow / fail their Z gates."""
-        if self.pallas:
+        # native big-K stays on the scan rung: the (8, 16, 256)
+        # checkpointed kernel geometry is validated for 5-mer K only,
+        # and at K=4^9 its HBM budget would not close
+        use_kernel_rung = self.pallas and self.model.kmer_size <= 5
+        if use_kernel_rung:
             wide_n, wide_k = 16, 240          # CK = 240 + 16 = 256 lanes
             widths = (8,)                     # geometry fixes R at 8
         else:
@@ -797,7 +820,7 @@ class NTCBatchEngine:
                 )
 
             wn, wk = wide_n, wide_k
-            if self.pallas:
+            if use_kernel_rung:
                 try:
                     res = run_rung(True, wn, wk)
                     jax.block_until_ready(res["Zf"])

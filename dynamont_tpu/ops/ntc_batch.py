@@ -261,10 +261,63 @@ def pre_tn_batch(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
 # TK pre-pass (dense T x K 2-state DP, ref: NTC.cpp:145-217,291-349)
 # ---------------------------------------------------------------------------
 
+def _stretch4(x, K: int):
+    """(R, step) -> (R, K) with out[:, k] = x[:, k//4], as block einsums
+    against a constant (128, 512) one-hot: every trailing-4 construction
+    (repeat/reshape) tile-pads 4 -> 128 lanes on TPU — ~540 MB of HBM
+    relayout per use at K=4^9 (measured 7 ms per TK scan step)."""
+    R, step = x.shape
+    P = (jnp.arange(128)[:, None]
+         == jnp.arange(512)[None, :] // 4).astype(x.dtype)
+    out = jnp.einsum("rbi,iu->rbu", x.reshape(R, step // 128, 128), P,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(R, K)
+
+
+def _pick4(x):
+    """(R, K) -> (R, K//4) with out[:, g] = x[:, 4g] (block einsum; see
+    _stretch4 for why not a strided construction)."""
+    R, K = x.shape
+    Q = (jnp.arange(512)[:, None]
+         == 4 * jnp.arange(128)[None, :]).astype(x.dtype)
+    out = jnp.einsum("rbu,uw->rbw", x.reshape(R, K // 512, 512), Q,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(R, K // 4)
+
+
+def _sum4(x):
+    """(R, K) -> (R, K//4) adjacent-4 sums, ascending order per group
+    (block einsum: the one-hot contraction accumulates u ascending)."""
+    R, K = x.shape
+    Q = (jnp.arange(512)[:, None] // 4
+         == jnp.arange(128)[None, :]).astype(x.dtype)
+    out = jnp.einsum("rbu,uw->rbw", x.reshape(R, K // 512, 512), Q,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(R, K // 4)
+
+
 def _prec_sum_b(E_prev, alphabet_size: int):
     """X[:, k] = logsumexp_j E_prev[:, prec_j(k)] (batched ntc_pre._prec_sum)."""
     R, K = E_prev.shape
     step = K // alphabet_size
+    if K > 4096 and alphabet_size == 4:
+        # big-K: stride-step class lse via lane rolls (broadcast form,
+        # classes never cross the roll seam: member j + step*i), then a
+        # contiguous [0, step) slice + block-einsum stretch — no
+        # (A, step)/(step, A) intermediates (see _stretch4)
+        v = E_prev
+        m1v = jnp.maximum(v, jnp.roll(v, -step, axis=1))
+        m = jnp.maximum(m1v, jnp.roll(m1v, -2 * step, axis=1))
+        live = m > -jnp.inf
+        m_safe = jnp.where(live, m, 0.0)
+        e = jnp.exp(v - m_safe)
+        s1 = e + jnp.roll(e, -step, axis=1)
+        s = s1 + jnp.roll(s1, -2 * step, axis=1)
+        m_x = _stretch4(m_safe[:, :step], K)
+        s_x = _stretch4(s[:, :step], K)
+        return jnp.where(s_x > 0.0, m_x + jnp.log(jnp.where(s_x > 0.0,
+                                                            s_x, 1.0)),
+                         NEG_INF)
     g = E_prev.reshape(R, alphabet_size, step)
     m = jnp.max(g, axis=1)
     safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -277,6 +330,27 @@ def _suc_sum_b(vals, alphabet_size: int):
     """Y[:, k] = logsumexp_j vals[:, suc_j(k)] (batched ntc_pre._suc_sum)."""
     R, K = vals.shape
     step = K // alphabet_size
+    if K > 4096 and alphabet_size == 4:
+        # big-K: adjacent-4 group max via aligned lane rolls (wraps only
+        # reach lanes whose partner is in-group), compact sum/max by
+        # block einsum, tile back — no trailing-A intermediates
+        lane = jnp.arange(K)[None, :]
+        v = vals
+        p1 = jnp.where(lane % 2 == 0, jnp.roll(v, -1, axis=1),
+                       jnp.roll(v, 1, axis=1))
+        m1v = jnp.maximum(v, p1)
+        p2 = jnp.where(lane % 4 < 2, jnp.roll(m1v, -2, axis=1),
+                       jnp.roll(m1v, 2, axis=1))
+        m = jnp.maximum(m1v, p2)                  # group max, broadcast
+        live = m > -jnp.inf
+        m_safe = jnp.where(live, m, 0.0)
+        e = jnp.exp(v - m_safe)
+        s_c = _sum4(e)                            # (R, step), ascending
+        m_c = _pick4(m_safe)
+        y = jnp.where(s_c > 0.0, m_c + jnp.log(jnp.where(s_c > 0.0,
+                                                         s_c, 1.0)),
+                      NEG_INF)
+        return jnp.tile(y, (1, alphabet_size))
     g = vals.reshape(R, step, alphabet_size)
     m = jnp.max(g, axis=2)
     safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -407,7 +481,12 @@ def pre_tk_batch_ckpt(sig, T_r, means, c1, c2, log_m1, log_e2,
 
     def bchunk(carry, xs):
         new, _ = jax.lax.scan(bstep, carry, xs, reverse=True)
-        return new, carry  # checkpoint = state entering this chunk
+        # checkpoint = state entering this chunk, carried FLAT (R*K,):
+        # a stacked (nc, R, K) checkpoint tensor tempts XLA's layout
+        # assignment into putting R on the 128-lane axis (8-16x tile
+        # padding — 16 GB per tensor at K=4^9, R=16; observed when the
+        # consumer graph contains Mosaic custom calls)
+        return new, (carry[0].reshape(-1), carry[1].reshape(-1))
 
     (_, bE0), ckpts = jax.lax.scan(bchunk, (negK, negK), xsb, reverse=True)
     Zb = logsumexp(bE0, axis=1)
@@ -417,11 +496,14 @@ def pre_tk_batch_ckpt(sig, T_r, means, c1, c2, log_m1, log_e2,
 
     def bstep_store(carry, xs):
         new, _ = bstep(carry, xs)
-        return new, new
+        # FLAT (R*K,) ys for the same layout reason as the checkpoints
+        return new, (new[0].reshape(-1), new[1].reshape(-1))
 
     def fstep(carry, xs):
         M_prev, E_prev, finalE = carry
-        sig_t, bM_t, bE_t, t = xs
+        sig_t, bM_f, bE_f, t = xs
+        bM_t = bM_f.reshape(M_prev.shape)
+        bE_t = bE_f.reshape(M_prev.shape)
         d = sig_t[:, None] - muk
         sc = c1k - c2k * d * d
         M_new = _prec_sum_b(E_prev, alphabet_size) + sc + log_m1
@@ -442,7 +524,8 @@ def pre_tk_batch_ckpt(sig, T_r, means, c1, c2, log_m1, log_e2,
     xsf_sig = sig_f.T.reshape(nc, chunk, R)
 
     def fchunk(carry, xs):
-        xsb_c, xsf_c, ts_c, ck = xs
+        xsb_c, xsf_c, ts_c, ck_flat = xs
+        ck = (ck_flat[0].reshape(R, K), ck_flat[1].reshape(R, K))
         # re-derive this chunk's backward columns from the checkpoint
         # (same ops as the checkpoint pass -> bit-equal values)
         _, (bMc, bEc) = jax.lax.scan(bstep_store, ck, (xsb_c, ts_c),

@@ -302,7 +302,37 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int, tables=None,
     sigkm = jnp.broadcast_to(sig_prev.T[:, :, None], (T_pad, R, CK))
     ks_live = jnp.where(plan.live.reshape(T_pad, R, CK) > 0,
                         _f32(plan.ks.reshape(T_pad, R, CK)), -1.0)
-    if tables is not None:
+    if tables is not None and K > 4096:
+        # native big-K (9-mer): the MXU one-hot gather scales with K
+        # (48*K*J MACs per row — ~475T MACs per bucket at K=4^9); plain
+        # XLA take gathers (~5 ns/element) win by ~50x here. Successor
+        # params exploit that suc_flat = (ks%step)*A + a indexes A
+        # CONSECUTIVE table rows: one 4-wide-slice gather from the
+        # (step, A) view instead of A scalar gathers.
+        t_mu, t_c1, t_c2 = (jnp.asarray(t, jnp.float32) for t in tables)
+        ks_i = plan.ks.reshape(T_pad, R, CK).astype(jnp.int32)
+        dead = ks_i >= K
+        ks_sf = jnp.clip(ks_i, 0, K - 1)
+        gk = lambda tab: jnp.where(dead, 0.0, tab[ks_sf])
+        mu_k, c1_k, c2_k = gk(t_mu), gk(t_c1), gk(t_c2)
+        step = K // A
+        ks_mod = ks_sf % step
+
+        def gsuc(tab):
+            # A separate single-element gathers: ANY gather whose slices
+            # span the A=4 dim canonicalizes to a (..., 4)-trailing
+            # intermediate, which tile-pads 4 -> 128 lanes (~16 GB here)
+            t2 = tab.reshape(step, A)
+            parts = [jnp.where(dead, 0.0, t2[:, a][ks_mod])
+                     for a in range(A)]
+            return jnp.concatenate(parts, axis=2)        # A-major ACK
+
+        suc = jnp.stack([gsuc(t_mu), gsuc(t_c1), gsuc(t_c2)], axis=1)
+        gn = lambda tab, idx: tab[idx]
+        n_gathered = (gn(t_mu, plan.kN), gn(t_c1, plan.kN),
+                      gn(t_c2, plan.kN), gn(t_mu, plan.kN2),
+                      gn(t_c1, plan.kN2), gn(t_c2, plan.kN2))
+    elif tables is not None:
         tabT = combined_tablesT(*tables, A, K)
         ks_i = plan.ks.reshape(T_pad, R * CK).astype(jnp.int32)
         # n-side params ride the same gather: append the kN/kN2 value

@@ -214,3 +214,38 @@ def test_native_9mer_exact_path_refuses_long_reads(model9_rna):
     # guard boundary: reads under ~1k samples at K=4^9 stay eligible for
     # the exact path (the small-N parity tests depend on that)
     assert (1000 + 1) * model.num_kmers * 8 < 2**31
+
+
+@pytest.mark.slow
+def test_ntc_engine_native_9mer_kernel_path_matches_scan(model9_rna):
+    """Native K=4^9 through the MOSAIC lattice kernels (the production
+    TPU path: scan ckpt TK pre-pass + K-generic kernels + XLA table
+    gathers, interpret mode here) vs the scan engine at the same caps:
+    borders/states/polish equal, probabilities to kernel-vs-scan noise."""
+    import jax.numpy as jnp
+
+    from dynamont_tpu.models.batch import BatchItem
+    from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+
+    model, _ = model9_rna
+    items = []
+    for s in range(2):
+        sig, read = _make_read9(model, 45 + 10 * s, seed=20 + s, rna=True)
+        items.append(BatchItem(sig, read))
+    kw = dict(t_pad_to=128, n_pad_to=16, native_kmer=True, fallback=False)
+    eng_p = NTCBatchEngine(model, "rna004", dtype=jnp.float32, pallas=True,
+                           pallas_interpret=True, **kw)
+    eng_s = NTCBatchEngine(model, "rna004", dtype=jnp.float32,
+                           pallas=False, **kw)
+    assert eng_p.model.kmer_size == 9 and eng_p.pallas
+    outs_p = eng_p.run(items)
+    outs_s = eng_s.run(items)
+    for op, os_ in zip(outs_p, outs_s):
+        assert op.error is None, op.error
+        assert os_.error is None, os_.error
+        assert abs(op.Z - os_.Z) < 1e-3 * max(1.0, abs(os_.Z))
+        assert len(op.segments) == len(os_.segments)
+        for gp, gs in zip(op.segments, os_.segments):
+            assert (gp[0], gp[1], gp[2], gp[4]) == \
+                   (gs[0], gs[1], gs[2], gs[4])
+            assert abs(gp[3] - gs[3]) < 1e-5
