@@ -440,17 +440,14 @@ def _vit_kernel(scal_ref, rows_ref, fm_ref, fe_ref, bm_ref, be_ref,
         cM[...] = jnp.full((G, B), NEG_INF, jnp.float32)
         cE[...] = jnp.where(jf == bw + 1.0, 0.0, NEG_INF)
 
-    def clip_prob(lp):
-        p = jnp.exp(lp)
-        p = jnp.where(jnp.isnan(p), 0.0, p)
-        return jnp.clip(p, 0.0, 1.0)
-
     def body(i, _):
         t = c * C + i
         lpm = fm_ref[i] + bm_ref[i] - zb
         lpe = fe_ref[i] + be_ref[i] - zb
-        pm_out[i] = clip_prob(lpm)
-        pe_out[i] = clip_prob(lpe)
+        # LOG posteriors are stored; the walk exps the ONE cell per row
+        # it visits (2 exps per band cell saved from this pass)
+        pm_out[i] = lpm
+        pe_out[i] = lpe
 
         @pl.when(t == 0)
         def _():
@@ -567,10 +564,15 @@ def banded_batch_run_pallas(batch: bb.BandedBatch, log_m1, log_e2,
     bw_p = _pad_reads(batch.bw.astype(jnp.int32), Rp)
     Zf = fE[T_p - 1, rp_iota, bw_p + 1]
     Zb = bE[0, rp_iota, bw_p + 1]
-    ch, PM, PE = _viterbi_t(fM, fE, bM, bE, Zb, batch, interpret)
+    ch, LPM, LPE = _viterbi_t(fM, fE, bM, bE, Zb, batch, interpret)
     back = lambda a: a.transpose(1, 0, 2)[:R, :T_pad]
+
+    def prob(lp):  # the kernels store LOG posteriors (walk exps 1/row)
+        p = jnp.exp(jnp.minimum(lp, 0.0))
+        return jnp.where(jnp.isnan(p), 0.0, p)
+
     return bb.BandedBatchResult(
-        Zf=Zf[:R], Zb=Zb[:R], PM=back(PM), PE=back(PE),
+        Zf=Zf[:R], Zb=Zb[:R], PM=prob(back(LPM)), PE=prob(back(LPE)),
         choices=back(ch).astype(bool),
     )
 
@@ -613,19 +615,14 @@ def _fwd_vit_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
         wc2[...] = w0c2_ref[...]
         zfa[...] = jnp.full((G, 128), NEG_INF, jnp.float32)
 
-    def clip_prob(lp):
-        p = jnp.exp(lp)
-        p = jnp.where(jnp.isnan(p), 0.0, p)
-        return jnp.clip(p, 0.0, 1.0)
-
     def body(i, _):
         t = c * C + i
         tf = jnp.float32(1.0) * t
 
         @pl.when(t == 0)
         def _():
-            pm_out[i] = clip_prob(cM[...] + bm_ref[i] - zb)
-            pe_out[i] = clip_prob(cE[...] + be_ref[i] - zb)
+            pm_out[i] = cM[...] + bm_ref[i] - zb
+            pe_out[i] = cE[...] + be_ref[i] - zb
             ch_out[i] = jnp.zeros((G, B), jnp.int32)
 
         @pl.when(t > 0)
@@ -666,8 +663,9 @@ def _fwd_vit_kernel(scal_ref, rows_ref, w0mu_ref, w0c1_ref, w0c2_ref,
             # posterior + viterbi row (identical to _vit_kernel)
             lpm = M_new + bm_ref[i] - zb
             lpe = E_new + be_ref[i] - zb
-            pm_out[i] = clip_prob(lpm)
-            pe_out[i] = clip_prob(lpe)
+            # LOG stores (see _vit_kernel): the walk exps at consumption
+            pm_out[i] = lpm
+            pe_out[i] = lpe
             vM_prev = vM[...]
             vE_prev = vE[...]
             vE_m = jnp.where(s1, vE_prev, _shift_right(vE_prev, NEG_INF))
@@ -783,7 +781,9 @@ def _walk_kernel(scal_ref, rows_ref, pm_ref, pe_ref, ch_ref,
         pe = jnp.sum(jnp.where(mask, pe_ref[i], 0.0), axis=1, keepdims=True)
         ch = jnp.sum(jnp.where(mask, ch_ref[i].astype(jnp.float32), 0.0),
                      axis=1, keepdims=True)
-        prob = jnp.where(is_m, pm, pe)
+        prob_l = jnp.where(is_m, pm, pe)
+        prob = jnp.exp(jnp.minimum(prob_l, 0.0))   # clip to <= 1
+        prob = jnp.where(jnp.isnan(prob), 0.0, prob)
         close = active & is_m
         out_val = jnp.where(active, n, jnp.float32(n_sentinel))
         out[i] = jnp.where(

@@ -130,8 +130,10 @@ def test_walk_matches_device_walk(setup):
     walk = jax.vmap(dv._walk_single(batch.B, N_max))
     starts_s, med_s = walk(res.PM, res.PE, res.choices, batch.bstart,
                            batch.T, batch.N, batch.bw)
+    # the pallas walk consumes LOG posteriors (the kernels store logs)
     starts_p, med_p = pk.walk_pallas(
-        res.PM, res.PE, res.choices, batch, N_max, interpret=True
+        jnp.log(res.PM), jnp.log(res.PE), res.choices, batch, N_max,
+        interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(starts_p), np.asarray(starts_s))
     np.testing.assert_allclose(
