@@ -42,23 +42,27 @@ def test_fast_train_matches_scan(model):
     ref = bb.banded_batch_train(*args)
     got = banded_batch_train_fast(*args, interpret=True)
 
+    # tolerances re-measured after the round-4 online exp-space
+    # accumulator folds (ops/nt_banded_train): observed max drift vs the
+    # scan oracle at these shapes is m1/e2 <= 2e-5 rel, means <= 1e-5,
+    # stdevs <= 8e-5 — the bounds below carry ~5x headroom
     np.testing.assert_allclose(np.asarray(got.Zf), np.asarray(ref.Zf),
-                               rtol=1e-4)
+                               rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got.Zb), np.asarray(ref.Zb),
-                               rtol=1e-4)
+                               rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got.m1), np.asarray(ref.m1),
-                               rtol=2e-4)
+                               rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got.e2), np.asarray(ref.e2),
-                               rtol=2e-4)
+                               rtol=1e-4)
     ref_mask = np.asarray(ref.kmer_mask)
     got_mask = np.asarray(got.kmer_mask)
     np.testing.assert_array_equal(got_mask, ref_mask)
     np.testing.assert_allclose(np.asarray(got.means)[ref_mask],
                                np.asarray(ref.means)[ref_mask],
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.stdevs)[ref_mask],
                                np.asarray(ref.stdevs)[ref_mask],
-                               rtol=5e-3, atol=1e-3)
+                               rtol=5e-4, atol=1e-4)
 
 
 def test_fast_train_padded_reads_are_benign(model):
