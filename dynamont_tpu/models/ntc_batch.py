@@ -33,6 +33,12 @@ from dynamont_tpu.utils.pore_model import PoreModel
 
 FP32_EPSILON = 1e-6  # per-cell Z tolerance for fp32 (see BASELINE.md)
 
+# big-K (native 9-mer) TK pre-pass: the 95%-mass crossing is searched in
+# the top-48 values only (measured demand <= 16/column at T=16k; top-k
+# cost scales with k — see ops.ntc_batch.pre_tk_batch_ckpt sel_cap).
+# The wide overflow rung (CK0 > 128) keeps the full selection width.
+BIGK_TK_SEL_CAP = 48
+
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -84,9 +90,11 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
                 import math as _math
 
                 chunk = _math.gcd(sig.shape[1] + 1, 128)
+                sel = BIGK_TK_SEL_CAP if BIGK_TK_SEL_CAP < CK0 <= 128 \
+                    else None
                 pk = nb.pre_tk_batch_ckpt(
                     sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0,
-                    jnp.float32, chunk=chunk,
+                    jnp.float32, chunk=chunk, sel_cap=sel,
                 )
             else:
                 pk = npp.pre_tk_pallas(
@@ -105,9 +113,11 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             R_b, Tm1 = sig.shape
             bigk = (Tm1 + 1) * K * jnp.dtype(dtype).itemsize > 2**30
             if bigk and (Tm1 + 1) % 128 == 0:
+                sel = BIGK_TK_SEL_CAP if BIGK_TK_SEL_CAP < CK0 <= 128 \
+                    else None
                 pk = nb.pre_tk_batch_ckpt(
                     sig, T_r, mu, c1a, c2a, log_ppm, log_ppe, A, CK0,
-                    dtype,
+                    dtype, sel_cap=sel,
                 )
             else:
                 bigk = False

@@ -386,8 +386,9 @@ def pre_tk_batch(sig, T_r, means, c1, c2, log_m1, log_e2,
         dead = (t > T_r - 1)[:, None]
         M_out = jnp.where(is_term | dead, NEG_INF, M_new)
         E_out = jnp.where(is_term, 0.0, jnp.where(dead, NEG_INF, E_new))
-        # store flat (R*K,) — see pre_tn_batch layout note
-        return (M_out, E_out), (M_out.reshape(-1), E_out.reshape(-1))
+        # store 2D (R, K): flattening the tiled layout costs a physical
+        # relayout gather per step (see pre_tk_batch_ckpt rederive note)
+        return (M_out, E_out), (M_out, E_out)
 
     negK = jnp.full((R, K), NEG_INF, dtype)
     sig_b = jnp.concatenate([sig, jnp.zeros((R, 1), dtype)], axis=1)
@@ -395,7 +396,7 @@ def pre_tk_batch(sig, T_r, means, c1, c2, log_m1, log_e2,
         bstep, (negK, negK), (sig_b.T, jnp.arange(T_pad, dtype=jnp.int32)),
         reverse=True,
     )
-    Zb = logsumexp(bE[0].reshape(R, K), axis=1)
+    Zb = logsumexp(bE[0], axis=1)
 
     # ---- forward scan with fused selection -----------------------------
     # one scan over t = 0..T_pad-1 (t=0 selects on the init column); the
@@ -407,8 +408,6 @@ def pre_tk_batch(sig, T_r, means, c1, c2, log_m1, log_e2,
     def fstep(carry, xs):
         M_prev, E_prev, finalE = carry
         sig_t, bM_t, bE_t, t = xs
-        bM_t = bM_t.reshape(R, K)
-        bE_t = bE_t.reshape(R, K)
         d = sig_t[:, None] - muk
         sc = c1k - c2k * d * d
         M_new = _prec_sum_b(E_prev, alphabet_size) + sc + log_m1
@@ -438,7 +437,7 @@ def pre_tk_batch(sig, T_r, means, c1, c2, log_m1, log_e2,
 
 def pre_tk_batch_ckpt(sig, T_r, means, c1, c2, log_m1, log_e2,
                       alphabet_size: int, cap: int, dtype,
-                      chunk: int = 128):
+                      chunk: int = 128, sel_cap: int | None = None):
     """pre_tk_batch with O(T/chunk * R * K) memory instead of O(T * R * K):
     the backward pass stores only per-chunk CHECKPOINT states; the fused
     forward/selection pass re-derives each chunk's backward columns from
@@ -447,10 +446,24 @@ def pre_tk_batch_ckpt(sig, T_r, means, c1, c2, log_m1, log_e2,
     ref: NTC_main.cpp:95-99) possible at production read lengths: the
     dense (T, R*K) backward store is ~17 GB per read at T=16k fp32,
     while checkpoints at chunk=128 are ~260 MB (the reference holds four
-    T*K double matrices in RAM, NTC.cpp:145-217 — 70 GB at this size)."""
+    T*K double matrices in RAM, NTC.cpp:145-217 — 70 GB at this size).
+
+    sel_cap (<= cap) decouples the SELECTION width from the downstream
+    candidate-slot width: the 95%-mass crossing is searched within the
+    top sel_cap values only (the 9-mer TK demand is tiny — max 16
+    candidates/column measured at T=16k, BASELINE round 3 — while the
+    lattice geometry wants ~120 slots; top-k cost scales with k), and
+    the result is padded to `cap` with sentinels. Columns whose
+    crossing lies beyond sel_cap flag overflow exactly like columns
+    beyond cap — the overflow ladder re-runs them at full width. The
+    selected set is IDENTICAL to the full-cap selection whenever it
+    does not overflow."""
     R, Tm1 = sig.shape
     T_pad = Tm1 + 1
     assert T_pad % chunk == 0, (T_pad, chunk)
+    if sel_cap is None:
+        sel_cap = cap
+    assert sel_cap <= cap, (sel_cap, cap)
     nc = T_pad // chunk
     sig = sig.astype(dtype)
     muk = jnp.asarray(means, dtype)
@@ -485,7 +498,10 @@ def pre_tk_batch_ckpt(sig, T_r, means, c1, c2, log_m1, log_e2,
         # a stacked (nc, R, K) checkpoint tensor tempts XLA's layout
         # assignment into putting R on the 128-lane axis (8-16x tile
         # padding — 16 GB per tensor at K=4^9, R=16; observed when the
-        # consumer graph contains Mosaic custom calls)
+        # consumer graph contains Mosaic custom calls), and a 2D-ckpt
+        # variant re-measured ~20% SLOWER end-to-end than this flat form
+        # (unlike the per-STEP rederive stores below, where 2D wins 3.7x;
+        # the per-chunk relayout here amortizes over 128 steps).
         return new, (carry[0].reshape(-1), carry[1].reshape(-1))
 
     (_, bE0), ckpts = jax.lax.scan(bchunk, (negK, negK), xsb, reverse=True)
@@ -496,14 +512,18 @@ def pre_tk_batch_ckpt(sig, T_r, means, c1, c2, log_m1, log_e2,
 
     def bstep_store(carry, xs):
         new, _ = bstep(carry, xs)
-        # FLAT (R*K,) ys for the same layout reason as the checkpoints
-        return new, (new[0].reshape(-1), new[1].reshape(-1))
+        # 2D (R, K) ys: flattening the tiled (R, K) layout costs a
+        # physical relayout gather EVERY STEP (measured 3.7x on the
+        # rederive store + the mirror cost on fstep's read side); the 2D
+        # store keeps the native tiling. The (chunk, R, K) stack lives
+        # only inside one fchunk body, so the documented (nc, R, K)
+        # checkpoint layout trap (R pushed onto lanes by Mosaic
+        # consumers) does not reach it.
+        return new, (new[0], new[1])
 
     def fstep(carry, xs):
         M_prev, E_prev, finalE = carry
-        sig_t, bM_f, bE_f, t = xs
-        bM_t = bM_f.reshape(M_prev.shape)
-        bE_t = bE_f.reshape(M_prev.shape)
+        sig_t, bM_t, bE_t, t = xs
         d = sig_t[:, None] - muk
         sc = c1k - c2k * d * d
         M_new = _prec_sum_b(E_prev, alphabet_size) + sc + log_m1
@@ -515,7 +535,7 @@ def pre_tk_batch_ckpt(sig, T_r, means, c1, c2, log_m1, log_e2,
         finalE = jnp.where((t == T_r - 1)[:, None], E_out, finalE)
         U = jnp.logaddexp(bM_t + M_out, bE_t + E_out)
         cand, cnt, ovf = select_topk(
-            U, cap, ge_break=True, col_live=t <= T_r - 1, sentinel=K,
+            U, sel_cap, ge_break=True, col_live=t <= T_r - 1, sentinel=K,
         )
         return (M_out, E_out, finalE), (cand, cnt, ovf)
 
@@ -537,8 +557,15 @@ def pre_tk_batch_ckpt(sig, T_r, means, c1, c2, log_m1, log_e2,
     )
     Zf = logsumexp(finalE, axis=1)
     T_ = T_pad
+    cand = cand.reshape(T_, R, sel_cap)
+    if sel_cap < cap:
+        # pad the slot axis back to `cap` with sentinels so downstream
+        # plan shapes are independent of the selection width
+        cand = jnp.concatenate(
+            [cand, jnp.full((T_, R, cap - sel_cap), K, cand.dtype)],
+            axis=2)
     return PreBatchResult(
-        cand.reshape(T_, R, cap), cnt.reshape(T_, R), Zf, Zb,
+        cand, cnt.reshape(T_, R), Zf, Zb,
         ovf.reshape(T_, R).any(axis=0),
     )
 
