@@ -37,16 +37,29 @@ _RAW_CACHE: OrderedDict = OrderedDict()
 _RAW_CACHE_SIZE = 4  # ref: segment.py:117-130
 
 
-def _get_raw(path: str):
-    import read5_ont
+def _open_raw(path: str):
+    """read5_ont (pod5/fast5/slow5) when installed; otherwise the
+    internal h5py multi-read fast5 reader (io/fast5.py) so the raw-bytes
+    path works in read5_ont-less environments."""
+    try:
+        import read5_ont
+    except ImportError:
+        if path.endswith(".fast5"):
+            from dynamont_tpu.io.fast5 import Fast5Reader
 
+            return Fast5Reader(path)
+        raise
+    return read5_ont.read(path)
+
+
+def _get_raw(path: str):
     if path in _RAW_CACHE:
         _RAW_CACHE.move_to_end(path)
         return _RAW_CACHE[path]
     if len(_RAW_CACHE) >= _RAW_CACHE_SIZE:
         _, old = _RAW_CACHE.popitem(last=False)
         old.close()
-    _RAW_CACHE[path] = read5_ont.read(path)
+    _RAW_CACHE[path] = _open_raw(path)
     return _RAW_CACHE[path]
 
 
