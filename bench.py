@@ -112,16 +112,24 @@ def bench_banded(model, items, metrics):
     ]
     for b in buckets:
         _force(b[3].Zf)  # drain warm-up round
-    t0 = time.perf_counter()
-    for _, _, wire, _ in buckets:
-        # match the dispatch call's committed device: device=None builds
-        # UNcommitted table arrays, a different jit cache entry (a fresh
-        # ~35 s compile) — not the program the engine actually runs
-        dev = next(iter(wire.dacs.devices()))
-        res = eng._dev_run(wire, device=dev)
-        _force(res.Zf)
-        _force(res.starts)
-    device_s = time.perf_counter() - t0
+    # min of 3 replays: the replay wall is itself exposed to tunnel
+    # stalls; a single noisy replay can exceed the best-of-3 dispatch
+    # wall and produce a >100% "utilization".  The replay does strictly
+    # less work than the timed run (no H2D of the signals), so with the
+    # noise floor removed device_s <= dt holds and the ratio is credible.
+    dev_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _, _, wire, _ in buckets:
+            # match the dispatch call's committed device: device=None
+            # builds UNcommitted table arrays, a different jit cache entry
+            # (a fresh ~35 s compile) — not the program the engine runs
+            dev = next(iter(wire.dacs.devices()))
+            res = eng._dev_run(wire, device=dev)
+            _force(res.Zf)
+            _force(res.starts)
+        dev_times.append(time.perf_counter() - t0)
+    device_s = min(dev_times)
     util = device_s / dt
     total_samples = sum(len(it.signal) for it in items)
     # DP cells: T x B band cells per wavefront pass; fwd + bwd + fused
@@ -154,10 +162,18 @@ def bench_banded(model, items, metrics):
         "vs_baseline": round(n_ok / dt_med / REF_BANDED_READS_PER_S, 1),
     })
     print(
-        f"banded device time: {device_s:.3f}s of {dt:.3f}s wall "
-        f"({100 * util:.0f}% utilization, "
+        f"banded device time: {device_s:.3f}s (replays "
+        f"{'/'.join(f'{x:.3f}' for x in sorted(dev_times))}) of {dt:.3f}s "
+        f"wall ({100 * util:.0f}% utilization, "
         f"{cells / device_s / 1e9:.1f}G device cells/s)", file=sys.stderr,
     )
+    # the two raw times side-by-side so the ratio below is auditable
+    metrics.append({
+        "metric": "banded_device_time",
+        "value": round(device_s, 3),
+        "unit": "s (min of 3 replays)",
+        "vs_baseline": round(dt, 3),  # best-of-3 dispatch wall, same pool
+    })
     metrics.append({
         "metric": "banded_device_cells_per_s",
         "value": round(cells / device_s / 1e9, 2),
@@ -444,6 +460,55 @@ def bench_train(model, items, metrics):
     })
 
 
+def bench_9mer(metrics):
+    """Native 9-mer NTC (K = 4^9) at production length — the config the
+    reference cannot run at all (its four dense T x K double matrices are
+    ~70 GB at T=16k, NTC.cpp:145-217). vs_baseline is measured s/read
+    against the round-3 target of 2.0 s/read (no reference denominator
+    exists)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynamont_tpu.models.batch import BatchItem
+    from dynamont_tpu.models.ntc_batch import NTCBatchEngine
+    from dynamont_tpu.utils.pore_model import PoreModel
+    from dynamont_tpu.utils.synthetic import make_read
+
+    # synthetic 9-mer table with realistic normalized per-kmer noise
+    # (see scripts/probe_9mer_engine.py; the real rna004_9mer blob is
+    # git-LFS-absent from this environment and the reference mount)
+    rng = np.random.default_rng(0)
+    K = 4 ** 9
+    model9 = PoreModel(
+        means=rng.normal(0.0, 1.0, K).astype(np.float64),
+        stdevs=(0.08 + 0.08 * rng.random(K)).astype(np.float64),
+        kmer_size=9, alphabet_size=4, rna=True,
+    )
+    items = []
+    for s in range(16):
+        sig, read = make_read(model9, n_bases=max(40, T_TRIM // 9),
+                              mean_dwell=MEAN_DWELL, seed=s)
+        items.append(BatchItem(sig[: T_TRIM - 1], read))
+    eng = NTCBatchEngine(model9, "rna004", dtype=jnp.float32,
+                         native_kmer=True, fallback=False)
+    outs = eng.run(items)  # warmup/compile
+    dt = 1e18
+    for _ in range(2):  # best of 2 (the bucket is ~21 s of device time)
+        t0 = time.perf_counter()
+        outs = eng.run(items)
+        dt = min(dt, time.perf_counter() - t0)
+    ok = sum(1 for o in outs if o.error is None)
+    s_per_read = dt / len(items)
+    print(f"ntc 9-mer native: {ok}/{len(items)} reads in {dt:.1f}s "
+          f"({s_per_read:.2f} s/read, K=4^9, T={T_TRIM})", file=sys.stderr)
+    metrics.append({
+        "metric": "ntc_9mer_seconds_per_read",
+        "value": round(s_per_read, 3),
+        "unit": "s/read",
+        "vs_baseline": round(2.0 / s_per_read, 2),  # vs the 2 s/read target
+    })
+
+
 def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax
@@ -483,6 +548,10 @@ def main() -> None:
             bench_train(model, items, metrics)
         except Exception as e:
             print(f"train bench failed: {e}", file=sys.stderr)
+        try:
+            bench_9mer(metrics)
+        except Exception as e:
+            print(f"9mer bench failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
