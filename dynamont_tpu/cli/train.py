@@ -39,6 +39,16 @@ def build_parser() -> ArgumentParser:
                    help="continue from the last trained_{epoch}_{batch} "
                         "checkpoint in the output dir (skips the batches "
                         "params.csv records as done)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run: initialize jax.distributed; every "
+                        "process reads the same job stream and trains the "
+                        "round-robin shard of each batch; per-read "
+                        "estimates merge across processes before pooling "
+                        "(identical params on every host); process 0 "
+                        "writes params.csv/checkpoints (shared outdir). "
+                        "Set DYNAMONT_COORDINATOR, DYNAMONT_NUM_PROCESSES, "
+                        "DYNAMONT_PROCESS_ID (or rely on the TPU pod "
+                        "autodetection).")
     return p
 
 
@@ -52,6 +62,13 @@ def main(argv=None) -> None:
 
     jax.config.update("jax_enable_x64", True)
 
+    if args.distributed:
+        from dynamont_tpu.parallel.mesh import init_distributed
+
+        # fail loudly: a half-initialized "distributed" training would
+        # silently train every batch on every host
+        init_distributed(required=True)
+
     from dynamont_tpu.constants import is_rna
     from dynamont_tpu.io import readers
     from dynamont_tpu.models.registry import get_model_path
@@ -62,7 +79,7 @@ def main(argv=None) -> None:
     trainer = Trainer(
         args.mode, args.pore, args.outdir, model_path,
         batch_size=args.batch_size, epochs=args.epochs, resume=args.resume,
-        precision=args.precision,
+        precision=args.precision, distributed=args.distributed,
     )
 
     def jobs():

@@ -104,10 +104,26 @@ class Trainer:
 
     def __init__(self, mode: str, pore: str, outdir: str,
                  model_path: str, batch_size: int = 24, epochs: int = 1,
-                 resume: bool = False, precision: str = "fp64"):
+                 resume: bool = False, precision: str = "fp64",
+                 distributed: bool = False):
         assert mode in ("basic", "resquiggle")
         assert precision in ("auto", "fp64", "fp32")
         self.mode = mode
+        # multi-host data parallelism (BASELINE config 5): every process
+        # sees the same job stream, trains the round-robin shard
+        # jobs[process_index::process_count] of each batch, and the
+        # per-read estimates are merged across processes with a summed
+        # process_allgather before the (deterministic, identical on every
+        # process) ManagedList pooling. Only process 0 writes params.csv
+        # and model checkpoints. jax.distributed must be initialized
+        # before constructing the Trainer (cli/train.py --distributed).
+        self.dist = None
+        if distributed:
+            import jax
+
+            self.dist = (jax.process_index(), jax.process_count())
+            print(f"distributed training: process {self.dist[0]} of "
+                  f"{self.dist[1]}", file=sys.stderr)
         # fp64 = reference-parity scan path (EPSILON Z-invariant); fp32 =
         # the Pallas/MXU fast path (ops/nt_banded_train, ~60x on TPU) with
         # the dtype-scaled Z tolerance. "auto" picks the same way the
@@ -160,31 +176,42 @@ class Trainer:
 
         if state is None:
             self.ckpt_path = join(outdir, "trained_0_0.model")
-            write_kmer_models(self.ckpt_path, self.kmer_models)
-            self.params_csv = open(join(outdir, "params.csv"), "w")
-            self.params_csv.write(
-                "epoch,batch,read,"
-                + ",".join(self.transition_params) + ",Zchange\n"
-            )
+            if self._is_writer:
+                write_kmer_models(self.ckpt_path, self.kmer_models)
+                self.params_csv = open(join(outdir, "params.csv"), "w")
+                self.params_csv.write(
+                    "epoch,batch,read,"
+                    + ",".join(self.transition_params) + ",Zchange\n"
+                )
+            else:
+                self.params_csv = open(os.devnull, "w")
             self.reads_done = 0
             self.batch_num = 0
         else:
             self.ckpt_path = state["ckpt"]
             csv_path = join(outdir, "params.csv")
-            # terminate a partial final row (interrupt between the params
-            # flush and the Zchange append) so new rows don't merge onto it
-            with open(csv_path, "rb") as f:
-                f.seek(0, 2)
-                size = f.tell()
-                newline_missing = False
-                if size:
-                    f.seek(size - 1)
-                    newline_missing = f.read(1) != b"\n"
-            self.params_csv = open(csv_path, "a")
-            if newline_missing:
-                self.params_csv.write("\n")
+            if self._is_writer:
+                # terminate a partial final row (interrupt between the
+                # params flush and the Zchange append) so new rows don't
+                # merge onto it
+                with open(csv_path, "rb") as f:
+                    f.seek(0, 2)
+                    size = f.tell()
+                    newline_missing = False
+                    if size:
+                        f.seek(size - 1)
+                        newline_missing = f.read(1) != b"\n"
+                self.params_csv = open(csv_path, "a")
+                if newline_missing:
+                    self.params_csv.write("\n")
+            else:
+                self.params_csv = open(os.devnull, "w")
             self.reads_done = state["reads"]
             self.batch_num = state["batch"]
+
+    @property
+    def _is_writer(self) -> bool:
+        return self.dist is None or self.dist[0] == 0
 
     # -- per-read training ------------------------------------------------
     def _train_batch_basic(self, jobs: list) -> list:
@@ -380,6 +407,87 @@ class Trainer:
                 out.append((trans, emis, float(Zf[i])))
         return out
 
+    # -- multi-host exchange ----------------------------------------------
+    def _kmer_codec(self):
+        """(param_names, kmer->index map, index->kmer list) for the dense
+        cross-process estimate encoding."""
+        from dynamont_tpu.utils.kmer import int2kmer
+
+        any_kmer = next(iter(self.kmer_models))
+        S = len(any_kmer)
+        A, K = 4, 4 ** S
+        rna = self.rna
+        idx2kmer = [int2kmer(k, A, S, rna) for k in range(K)]
+        kmer2idx = {km: k for k, km in enumerate(idx2kmer)}
+        return list(self.transition_params), kmer2idx, idx2kmer, K
+
+    def _train_batch_distributed(self, jobs: list) -> list:
+        """Train the local round-robin shard, then merge every process's
+        per-read estimates into full batch order (summed allgather of
+        dense per-slot arrays — each slot is filled by exactly one
+        process). All processes return identical results, so the
+        ManagedList pooling that follows stays deterministic and
+        bit-identical across hosts."""
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        pid, nproc = self.dist
+        local = jobs[pid::nproc]
+        try:
+            if self.mode == "basic":
+                local_results = self._train_batch_basic(local)
+            else:
+                local_results = self._train_batch_ntc(local)
+        except Exception as e:
+            print(f"batched training failed, per-read fallback: {e}",
+                  file=sys.stderr)
+            local_results = []
+            for job in local:
+                try:
+                    local_results.append(self._train_read(job))
+                except Exception as err:
+                    local_results.append(err)
+
+        names, kmer2idx, idx2kmer, K = self._kmer_codec()
+        B = len(jobs)
+        ok = np.zeros(B)
+        trans = np.zeros((B, len(names)))
+        z = np.zeros(B)
+        means = np.zeros((B, K))
+        stdevs = np.zeros((B, K))
+        mask = np.zeros((B, K))
+        for i, r in enumerate(local_results):
+            j = pid + nproc * i
+            if isinstance(r, Exception):
+                print(f"read {jobs[j].readid} failed on process {pid}: {r}",
+                      file=sys.stderr)
+                continue
+            tr, emis, zv = r
+            ok[j] = 1.0
+            trans[j] = [tr.get(p, self.transition_params[p]) for p in names]
+            z[j] = zv
+            for kmer, (m, s) in emis.items():
+                k = kmer2idx[kmer]
+                means[j, k] = m
+                stdevs[j, k] = s
+                mask[j, k] = 1.0
+        g = multihost_utils.process_allgather(
+            dict(ok=ok, trans=trans, z=z, means=means, stdevs=stdevs,
+                 mask=mask))
+        tot = {k: np.sum(v, axis=0) for k, v in g.items()}
+        out = []
+        for j in range(B):
+            if tot["ok"][j] == 0:
+                out.append(RuntimeError("training failed on its process"))
+                continue
+            tr = dict(zip(names, tot["trans"][j]))
+            emis = {
+                idx2kmer[k]: (tot["means"][j, k], tot["stdevs"][j, k])
+                for k in np.nonzero(tot["mask"][j])[0]
+            }
+            out.append((tr, emis, float(tot["z"][j])))
+        return out
+
     def _train_read(self, job):
         model = pore_model_from_dict(self.kmer_models, self.rna)
         if self.mode == "basic":
@@ -404,7 +512,20 @@ class Trainer:
         byproduct of ONE more batched pass under the UPDATED parameters
         (~0.25-0.7 s) — the per-read fp64 loop costs seconds (banded) to
         ~40 s (NTC) per read and stays only as the parity/CPU oracle and
-        the per-read fallback."""
+        the per-read fallback. Multi-host: each process re-evaluates its
+        round-robin shard; the per-slot Zs merge with a summed
+        allgather (mirroring _train_batch_distributed)."""
+        if self.dist is not None:
+            from jax.experimental import multihost_utils
+
+            pid, nproc = self.dist
+            local_z = self._post_z_local(jobs[pid::nproc], epoch)
+            z = np.zeros(len(jobs))
+            z[pid::nproc] = local_z
+            return np.sum(multihost_utils.process_allgather(z), axis=0)
+        return self._post_z_local(jobs, epoch)
+
+    def _post_z_local(self, jobs: list, epoch: int) -> np.ndarray:
         import jax
 
         post_z = np.zeros(len(jobs))
@@ -475,7 +596,9 @@ class Trainer:
         pre_z = np.zeros(len(jobs))
         ok_jobs = []
         try:
-            if self.mode == "basic":
+            if self.dist is not None:
+                results = self._train_batch_distributed(jobs)
+            elif self.mode == "basic":
                 results = self._train_batch_basic(jobs)
             else:
                 results = self._train_batch_ntc(jobs)
@@ -528,7 +651,8 @@ class Trainer:
         self.ckpt_path = join(
             self.outdir, f"trained_{epoch}_{self.batch_num}.model"
         )
-        write_kmer_models(self.ckpt_path, self.kmer_models)
+        if self._is_writer:
+            write_kmer_models(self.ckpt_path, self.kmer_models)
         self.params_csv.flush()
 
         post_z = self._post_z(jobs, epoch)
