@@ -64,8 +64,12 @@ def bench_banded(model, items, metrics):
     from dynamont_tpu.models.batch import BandedBatchEngine
 
     def make_engine():
+        # batch_size 32: fewer per-bucket launch/collect round-trips than
+        # 16 (394 -> 320 ms on the 64-read pool, measured) while keeping
+        # two buckets in flight for H2D/compute/D2H overlap (64 in one
+        # bucket loses the overlap: 343 ms)
         return BandedBatchEngine(
-            model, "rna002", dtype=jnp.float32, batch_size=16,
+            model, "rna002", dtype=jnp.float32, batch_size=32,
             max_batch_samples=2**22, t_pad_to=2048,
         )
 
@@ -112,22 +116,30 @@ def bench_banded(model, items, metrics):
     ]
     for b in buckets:
         _force(b[3].Zf)  # drain warm-up round
-    # min of 3 replays: the replay wall is itself exposed to tunnel
-    # stalls; a single noisy replay can exceed the best-of-3 dispatch
-    # wall and produce a >100% "utilization".  The replay does strictly
-    # less work than the timed run (no H2D of the signals), so with the
-    # noise floor removed device_s <= dt holds and the ratio is credible.
+    # min of 3 replays, completion via jax.block_until_ready: np.asarray
+    # would pull the result tensors back through the host<->device tunnel
+    # (~0.9 MB of summaries per pool at ~8 MB/s — ~60 ms/bucket of D2H
+    # billed as "device time"; the round-4 >100% utilization came from
+    # exactly this plus replay-side tunnel stalls). block_until_ready
+    # waits for the device programs without transferring, so device_s is
+    # device COMPUTE; the dispatch wall `dt` additionally carries the
+    # (partially overlapped) H2D/D2H traffic, and their ratio is a true
+    # compute-utilization of the wall.
+    import jax as _jax
+
     dev_times = []
     for _ in range(3):
         t0 = time.perf_counter()
+        ress = []
         for _, _, wire, _ in buckets:
             # match the dispatch call's committed device: device=None
             # builds UNcommitted table arrays, a different jit cache entry
             # (a fresh ~35 s compile) — not the program the engine runs
             dev = next(iter(wire.dacs.devices()))
-            res = eng._dev_run(wire, device=dev)
-            _force(res.Zf)
-            _force(res.starts)
+            ress.append(eng._dev_run(wire, device=dev))
+        for res in ress:
+            _jax.block_until_ready(res.Zf)
+            _jax.block_until_ready(res.starts)
         dev_times.append(time.perf_counter() - t0)
     device_s = min(dev_times)
     util = device_s / dt
