@@ -128,6 +128,7 @@ def make_ntc_batch_fn(model: PoreModel, pore: str,
             pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
             mu, c1a, c2a, A, S, dtype, lite=use_pallas,
             bigk=not use_pallas and bigk,
+            kn1=pn.kn1, kn2=pn.kn2,
         )
         sigd = sig.astype(dtype)
         if use_pallas:
@@ -233,7 +234,7 @@ def ntc_train_bucket_program(sig, kmer_ids, T_r, N_r, mu, sd, c1a, c2a,
                            A, CK0, interpret=interpret)
     plan, dims = nb.build_plan_batch(
         pn.cand, pn.cnt, pk.cand, pk.cnt, kmer_ids, N_r,
-        mu, c1a, c2a, A, S, dtype, lite=True,
+        mu, c1a, c2a, A, S, dtype, lite=True, kn1=pn.kn1, kn2=pn.kn2,
     )
     R = dims[0]
     sigd = sig.astype(dtype)

@@ -156,6 +156,11 @@ class PreBatchResult(NamedTuple):
     Zf: jax.Array        # (R,)
     Zb: jax.Array        # (R,)
     overflow: jax.Array  # (R,) bool
+    # TN kernel path only: kmer_seq values at cand-1 / cand (same order
+    # as cand), so build_plan_batch skips its two (T, R, CN) XLA take
+    # gathers (~21 ms each per 16-read T=16k bucket). None on scan paths.
+    kn1: jax.Array | None = None   # (T, R, C) int32
+    kn2: jax.Array | None = None   # (T, R, C) int32
 
 
 LOG_2PI = 1.8378770664093453
@@ -576,7 +581,8 @@ def pre_tk_batch_ckpt(sig, T_r, means, c1, c2, log_m1, log_e2,
 
 def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
                     means, c1, c2, alphabet_size: int, kmer_size: int, dtype,
-                    lite: bool = False, bigk: bool = False):
+                    lite: bool = False, bigk: bool = False,
+                    kn1=None, kn2=None):
     """Single-read plan with a *traced* read length N_read (the static
     N = N_max only bounds shapes/clipping); otherwise identical to
     ops/ntc_dp.build_plan. vmapped over reads by build_plan_batch.
@@ -595,9 +601,12 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
 
     n_valid = (jnp.arange(CN)[None, :] < cnt_n[:, None]) & (cand_n < N_read[None])
     n_safe = jnp.clip(cand_n, 0, N_max - 1)
-    kN = jnp.where(
-        n_valid & (cand_n >= 1), kmer_seq[jnp.clip(n_safe - 1, 0, N_max - 2)], 0
-    )
+    # kn1/kn2: the TN kernel already extracted kmer_seq[cand-1]/[cand]
+    # (co-sorted with cand) — each XLA take gather here costs ~21 ms per
+    # 16-read T=16k bucket (~10 ns/element)
+    kN_raw = kn1 if kn1 is not None else \
+        kmer_seq[jnp.clip(n_safe - 1, 0, N_max - 2)]
+    kN = jnp.where(n_valid & (cand_n >= 1), kN_raw, 0)
     base_k = jnp.where(n_valid & (cand_n >= 1), kN, K)
 
     # k-slot list: TK candidates (selection order) ++ the read's own kmer
@@ -665,10 +674,9 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     means = jnp.asarray(means, dtype)
     c1 = jnp.asarray(c1, dtype)
     c2 = jnp.asarray(c2, dtype)
-    kN2 = jnp.where(
-        n_valid & (cand_n < N_read[None] - 1),
-        kmer_seq[jnp.clip(n_safe, 0, N_max - 2)], 0,
-    )
+    kN2_raw = kn2 if kn2 is not None else \
+        kmer_seq[jnp.clip(n_safe, 0, N_max - 2)]
+    kN2 = jnp.where(n_valid & (cand_n < N_read[None] - 1), kN2_raw, 0)
 
     def hd_count(a, b, ndigits):
         acc = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape), jnp.int32)
@@ -686,11 +694,34 @@ def _build_plan_one(cand_n, cnt_n, cand_k0, cnt_k, kmer_seq, N_read,
     # per-(t, slot-pair) int8 lookups built once per bucket
     kNc, kN2c = kN[:, :, None], kN2[:, :, None]
     ksc = ks_safe[:, None, :]
-    if lite:
-        # fused digit loop producing the PACKED int16 nibble layout the
-        # Mosaic kernels consume (hd1|hd2<<4|hd1s<<8|hd2s<<12) directly:
-        # one (T, CN, CK) int16 write instead of four int8 tensors + an
-        # int32 repack in build_kernel_packs
+    if lite and alphabet_size == 4:
+        # PACKED int16 nibble layout (hd1|hd2<<4|hd1s<<8|hd2s<<12) via
+        # XOR + population_count on the 2-bit digit fields: digit i of
+        # a and b differ iff bit pair (2i, 2i+1) of a^b is nonzero, so
+        # hamming = popcnt((z | z>>1) & 0b0101..01). ~26 broadcast int
+        # ops per (t, n, j) cell instead of the former ~40-op digit loop
+        # (the plan stage's dominant fusion, ~43 ms of the 16-read T=16k
+        # bucket). Bit-identical to the loop for every slot.
+        even = (4 ** kmer_size - 1) // 3          # 0b0101...01, S digits
+        even_s = even >> 2                        # S-1 digits
+        i32 = lambda c: c.astype(jnp.int32)
+        pc = jax.lax.population_count
+
+        def ham(z, mask):
+            return pc((z | (z >> 1)) & mask)
+
+        z1 = i32(kNc) ^ i32(ksc)
+        z2 = i32(kN2c) ^ i32(ksc)
+        z1s = (i32(kNc) >> 2) ^ i32(ksc)
+        z2s = (i32(kN2c) >> 2) ^ i32(ksc)
+        acc = (ham(z1, even) | (ham(z2, even) << 4)
+               | (ham(z1s, even_s) << 8) | (ham(z2s, even_s) << 12))
+        hd1 = acc.astype(jnp.int16)            # packed; hd2.. are dummies
+        z8 = jnp.zeros((T, 1), jnp.int8)
+        hd2 = hd1s = hd2s = z8
+    elif lite:
+        # non-4 alphabets: digit-loop fallback producing the same packed
+        # nibbles
         x1, x2, y = kNc, kN2c, ksc
         x1s, x2s = kNc // alphabet_size, kN2c // alphabet_size
         shape = jnp.broadcast_shapes(kNc.shape, ksc.shape)
@@ -834,9 +865,11 @@ class PlanDims(NamedTuple):
 
 def build_plan_batch(cand_n, cnt_n, cand_k0, cnt_k, kmer_ids, N_r,
                      means, c1, c2, alphabet_size: int, kmer_size: int,
-                     dtype, lite: bool = False, bigk: bool = False):
+                     dtype, lite: bool = False, bigk: bool = False,
+                     kn1=None, kn2=None):
     """cand_n (T, R, CN), cnt_n (T, R), cand_k0 (T, R, CK0), cnt_k (T, R),
-    kmer_ids (R, N_max-1), N_r (R,).
+    kmer_ids (R, N_max-1), N_r (R,). kn1/kn2 (T, R, CN) optional
+    kernel-extracted kmer_seq values at cand-1/cand (PreBatchResult).
 
     Returns (plan, dims) where every plan array is FLATTENED to (T, X).
     TPU arrays tile-pad their two minor dims to (8, 128); keeping the tiny
@@ -844,6 +877,20 @@ def build_plan_batch(cand_n, cnt_n, cand_k0, cnt_k, kmer_ids, N_r,
     tensors 5-30x in HBM, so everything trailing T is collapsed and scan
     bodies reshape single rows back (a per-step (R, 5, CN, CK) column is
     KBs — padding there is irrelevant)."""
+    if kn1 is not None:
+        fn = jax.vmap(
+            lambda a, b, c, d, ks, n, k1, k2: _build_plan_one(
+                a, b, c, d, ks, n, means, c1, c2, alphabet_size,
+                kmer_size, dtype, lite=lite, bigk=bigk, kn1=k1, kn2=k2,
+            ),
+            in_axes=(1, 1, 1, 1, 0, 0, 1, 1), out_axes=1,
+        )
+        plan = fn(cand_n, cnt_n, cand_k0, cnt_k, kmer_ids, N_r, kn1, kn2)
+        R, CN = plan.cand_n.shape[1:3]
+        CK = plan.ks.shape[2]
+        dims = PlanDims(R, CN, CK, alphabet_size)
+        flat = NTCPlan(*[a.reshape(a.shape[0], -1) for a in plan])
+        return flat, dims
     fn = jax.vmap(
         lambda a, b, c, d, ks, n: _build_plan_one(
             a, b, c, d, ks, n, means, c1, c2, alphabet_size, kmer_size,

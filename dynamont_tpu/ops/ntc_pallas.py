@@ -238,6 +238,117 @@ def table_gather_pallas(ks, tabT, interpret: bool = False):
     )(ks[:, :, None], tabT)
 
 
+CT_TG = 8      # t rows per grid step (final-layout gather kernel)
+
+
+def _tab_gather_packs_kernel(ks_ref, tab_ref, muk_ref, c1k_ref, c2k_ref,
+                             suc_ref, nsl_ref, *, K, NJ, NJK):
+    """_tab_gather_kernel emitting the FINAL pack layouts directly:
+    mu/c1/c2 (R, CK) rows, suc (NSS, R, ACK) A-major blocks, and the
+    kN/kN2 n-side lane pack — instead of one (NTAB, J) row per t that a
+    host-graph lax.map then re-slices (a 16-iteration while + ~80 MB of
+    relayout copies, together ~95 ms of the 16-read T=16k bucket).
+    ks arrives as (CT, J) row blocks (J full-lane); per t the chunk
+    values are STATIC lane slices, and the one-hot puts k on SUBLANES
+    against a sublane-broadcast of the ks lane vector — no dynamic lane
+    slicing, no column-extraction matvec."""
+    t = tab_ref[...]
+    hi = t.astype(jnp.bfloat16)
+    r1 = t - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    t3 = jnp.concatenate([hi, mid, lo], axis=0)          # (3*NTAB, K)
+    RPC = JC_TG // CK                                    # R rows per chunk
+    kio = jax.lax.broadcasted_iota(jnp.int32, (JC_TG, K), 1)
+    # one small lane->sublane transpose per grid step: the one-hot
+    # compare wants ks on SUBLANES ((1, JC) -> (K, JC) sublane broadcast
+    # is rejected by Mosaic, and dynamic LANE slicing of a (J, CT)
+    # layout is unsupported — while a python-static lane slice of the
+    # transposed (J, CT) block is free)
+    ksT = ks_ref[...].T                                  # (J, CT)
+
+    for ti in range(CT_TG):
+        ks_col = ksT[:, ti:ti + 1]                       # (J, 1) sublanes
+        for jc in range(NJ):
+            ks_c = ks_col[jc * JC_TG:(jc + 1) * JC_TG]   # (JC, 1)
+            oh = (kio == ks_c).astype(jnp.bfloat16)      # (JC, K)
+            y3 = jax.lax.dot_general(
+                t3, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = y3[:NTAB] + y3[NTAB:2 * NTAB] + y3[2 * NTAB:]
+            if jc < NJK:
+                r0 = jc * RPC
+                # per-row (1, CK) lane-slice writes: Mosaic rejects the
+                # (1, JC) -> (RPC, CK) in-kernel reshape
+                for rr in range(RPC):
+                    cs = rr * CK
+                    rw = r0 + rr
+                    muk_ref[ti, rw, :] = y[0, cs:cs + CK]
+                    c1k_ref[ti, rw, :] = y[1, cs:cs + CK]
+                    c2k_ref[ti, rw, :] = y[2, cs:cs + CK]
+                    for tabi in range(NSS):
+                        for a in range(A):
+                            row = 3 + tabi * A + a
+                            suc_ref[ti, tabi, rw,
+                                    a * CK:(a + 1) * CK] = y[row,
+                                                             cs:cs + CK]
+            else:
+                nsl_ref[ti, :, :] = y[:3, :2 * RC]
+
+
+def table_gather_packs(ks_all, tabT, interpret: bool = False):
+    """One-call final-layout table gather: ks_all (T, J) int32 laid out
+    as [R*CK slot kmers ++ kN (RC) ++ kN2 (RC) ++ zero pad] per row;
+    returns (mu_k, c1_k, c2_k) (T, R, CK), suc (T, NSS, R, ACK), nsl
+    (T, 3, 2*RC)."""
+    T_pad, J = ks_all.shape
+    NT, K = tabT.shape
+    assert NT == NTAB and J % JC_TG == 0, (ks_all.shape,)
+    assert R * CK % JC_TG == 0 and 2 * RC <= JC_TG
+    T_k = (T_pad + CT_TG - 1) // CT_TG * CT_TG
+    if T_k != T_pad:
+        # small buckets: pad the t axis with sentinel rows (K never
+        # matches the one-hot iota -> zero outputs) and slice them off
+        ks_all = jnp.concatenate(
+            [ks_all, jnp.full((T_k - T_pad, J), K, ks_all.dtype)],
+            axis=0)
+    NJK = R * CK // JC_TG
+    kernel = functools.partial(_tab_gather_packs_kernel, K=K,
+                               NJ=J // JC_TG, NJK=NJK)
+    row3 = lambda c: (c, 0, 0)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T_k // CT_TG,),
+        in_specs=[
+            pl.BlockSpec((CT_TG, J), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NTAB, K), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((CT_TG, R, CK), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT_TG, R, CK), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT_TG, R, CK), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT_TG, NSS, R, ACK), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT_TG, 3, 2 * RC), row3,
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T_k, R, CK), jnp.float32),
+            jax.ShapeDtypeStruct((T_k, R, CK), jnp.float32),
+            jax.ShapeDtypeStruct((T_k, R, CK), jnp.float32),
+            jax.ShapeDtypeStruct((T_k, NSS, R, ACK), jnp.float32),
+            jax.ShapeDtypeStruct((T_k, 3, 2 * RC), jnp.float32),
+        ),
+        compiler_params=_CPAR,
+        interpret=interpret,
+    )(ks_all, tabT)
+    if T_k != T_pad:
+        outs = tuple(o[:T_pad] for o in outs)
+    return outs
+
+
 def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int, tables=None,
                        interpret: bool = False) -> NTCPacks:
     """Re-lay the flat (T, X) NTCPlan streams into the kernel layouts.
@@ -345,30 +456,12 @@ def build_kernel_packs(plan, dims, sig, N_r, T_r, K: int, tables=None,
             [ks_i, plan.kN.astype(jnp.int32), plan.kN2.astype(jnp.int32),
              jnp.zeros((T_pad, j_pad), jnp.int32)], axis=1)
         J_all = ks_all.shape[1]
-        # chunk over T: the raw gather output is (T, NTAB, J) f32 — 2 GB
-        # at T=16k — and keeping it whole OOMs the 16 GB chip (18.0 G
-        # program requirement measured). lax.map keeps one ~128 MB chunk
-        # live; the re-layout copies are HBM-bandwidth-cheap.
-        TC = T_pad
-        while TC > 1024 and TC % 2 == 0:
-            TC //= 2
-
-        def _chunk(ks_c):
-            g = table_gather_pallas(ks_c, tabT, interpret=interpret)
-            col = lambda c: g[:, c, :R * CK].reshape(-1, R, CK)
-            suc_c = jnp.stack(
-                [jnp.concatenate([col(3 + t * A + a) for a in range(A)],
-                                 axis=2) for t in range(3)], axis=1)
-            nsl = g[:, :3, R * CK:R * CK + 2 * RC]       # (TC, 3, 2*128)
-            return col(0), col(1), col(2), suc_c, nsl
-
-        mu_k, c1_k, c2_k, suc, nsl = jax.lax.map(
-            _chunk, ks_all.reshape(-1, TC, J_all))
-        mu_k = mu_k.reshape(T_pad, R, CK)
-        c1_k = c1_k.reshape(T_pad, R, CK)
-        c2_k = c2_k.reshape(T_pad, R, CK)
-        suc = suc.reshape(T_pad, NSS, R, ACK)
-        nsl = nsl.reshape(T_pad, 3, 2 * RC)
+        # final-layout gather kernel: one pallas call writing the pack
+        # tensors directly (the former (T, NTAB, J) row output re-sliced
+        # under a lax.map cost a 16-iteration while + ~80 MB of relayout
+        # copies — ~95 ms of the 637 ms bucket, profiled 2026-08-20)
+        mu_k, c1_k, c2_k, suc, nsl = table_gather_packs(
+            ks_all, tabT, interpret=interpret)
         n_gathered = (nsl[:, 0, :RC], nsl[:, 1, :RC], nsl[:, 2, :RC],
                       nsl[:, 0, RC:], nsl[:, 1, RC:], nsl[:, 2, RC:])
     else:

@@ -110,8 +110,8 @@ def _tn_fwd_kernel(sigp_ref, tab_ref, rd_ref, out_ref, stM, stE,
     jax.lax.fori_loop(0, C, body, 0)
 
 
-def _tn_bwd_kernel(sigp_ref, tab_ref, rd_ref, fwd_ref, sel_ref, e0_ref,
-                   stM, stE, *, C, nc, N2, cap, m1, e2):
+def _tn_bwd_kernel(sigp_ref, tab_ref, rd_ref, fwd_ref, kseq_ref, sel_ref,
+                   e0_ref, stM, stE, *, C, nc, N2, cap, m1, e2):
     ci = pl.program_id(0)
     chunk = nc - 1 - ci
     lane = _lane_iota(N2)
@@ -155,16 +155,30 @@ def _tn_bwd_kernel(sigp_ref, tab_ref, rd_ref, fwd_ref, sel_ref, e0_ref,
         m0 = jnp.max(u, axis=1, keepdims=True)
         m0s = jnp.where(m0 > -1e30, m0, 0.0)
         tot = jnp.sum(jnp.exp(u - m0s), axis=1, keepdims=True)
-        cols = []
+        # vals then idx then the kmer_seq values at (cand-1, cand), all
+        # CONTIGUOUS lane groups — the k-mer value extraction here
+        # replaces two (T, R, CN) XLA take gathers in the plan (~21 ms
+        # each per 16-read T=16k bucket); values ride the same lane==ij
+        # masked reduces as the extraction itself
+        kq1 = kseq_ref[0]
+        kq2 = kseq_ref[1]
+        vcols, icols, k1cols, k2cols = [], [], [], []
         uu = u
         for _j in range(cap):
             mj = jnp.max(uu, axis=1, keepdims=True)
             ij = jnp.min(jnp.where(uu == mj, lane, 3e9), axis=1,
                          keepdims=True)
-            uu = jnp.where(lane == ij, NEG_INF, uu)
-            cols += [mj, ij]
-        pad = jnp.zeros((R, 128 - 2 * cap - 2), jnp.float32)
-        sel_ref[i] = jnp.concatenate(cols + [m0, tot, pad], axis=1)
+            hit = lane == ij
+            uu = jnp.where(hit, NEG_INF, uu)
+            vcols.append(mj)
+            icols.append(ij)
+            k1cols.append(jnp.sum(jnp.where(hit, kq1, 0.0), axis=1,
+                                  keepdims=True))
+            k2cols.append(jnp.sum(jnp.where(hit, kq2, 0.0), axis=1,
+                                  keepdims=True))
+        pad = jnp.zeros((R, 128 - 4 * cap - 2), jnp.float32)
+        sel_ref[i] = jnp.concatenate(
+            vcols + icols + k1cols + k2cols + [m0, tot, pad], axis=1)
         return 0
 
     jax.lax.fori_loop(0, C, body, 0)
@@ -217,7 +231,13 @@ def pre_tn_pallas(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
 
     nc = T_pad // C
     rev = lambda c: (nc - 1 - c, 0, 0)
-    assert 2 * cap + 2 <= 128, cap
+    assert 4 * cap + 2 <= 128, cap
+    # kmer_seq value tables for the in-kernel kN/kN2 extraction, with
+    # the plan's clip semantics baked in: kq1[l] = seq[clip(l-1, 0,
+    # N2-2)], kq2[l] = seq[clip(l, 0, N2-2)] (exact ints in f32)
+    kq2 = jnp.concatenate([kmer_ids, kmer_ids[:, -1:]], axis=1)
+    kq1 = jnp.concatenate([kmer_ids[:, :1], kmer_ids], axis=1)
+    kseqp = jnp.stack([_f32(kq1), _f32(kq2)], axis=0)    # (2, R, N2)
     sel, E0 = pl.pallas_call(
         functools.partial(_tn_bwd_kernel, C=C, nc=nc, N2=N2, cap=cap,
                           m1=np.float32(log_m1), e2=np.float32(log_e2)),
@@ -230,6 +250,8 @@ def pre_tn_pallas(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
             pl.BlockSpec((2, R), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 2, R, N2), lambda c: (nc - 1 - c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, R, N2), lambda c: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -244,7 +266,7 @@ def pre_tn_pallas(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
         scratch_shapes=[pltpu.VMEM((R, N2), jnp.float32)] * 2,
         compiler_params=_CPAR,
         interpret=interpret,
-    )(sigp, tab, rd, fwd)
+    )(sigp, tab, rd, fwd, kseqp)
 
     r_iota = jnp.arange(R)
     Zf = fwd[T_r - 1, 1, r_iota, N_r - 1]
@@ -254,15 +276,24 @@ def pre_tn_pallas(sig, kmer_ids, N_r, T_r, means, stdevs, log_m1, log_e2,
     # the backward kernel fused the top-cap extraction; only the tiny
     # 95%-mass crossing over (T*R, cap) runs here
     sel2 = sel.reshape(T_pad * R, 128)
-    vals = sel2[:, 0:2 * cap:2]
-    idx = sel2[:, 1:2 * cap:2].astype(jnp.int32)
-    tot = sel2[:, 2 * cap + 1:2 * cap + 2]
+    vals = sel2[:, 0:cap]
+    idx = sel2[:, cap:2 * cap].astype(jnp.int32)
+    kn1 = sel2[:, 2 * cap:3 * cap].astype(jnp.int32)
+    kn2 = sel2[:, 3 * cap:4 * cap].astype(jnp.int32)
+    tot = sel2[:, 4 * cap + 1:4 * cap + 2]
     cand, cnt, ovf = crossing_from_topk(
         vals, idx, tot, ge_break=False, col_live=col_live, sentinel=N2,
     )
-    cand = jnp.sort(cand.reshape(T_pad, R, cap), axis=2)
+    # co-sort the kernel-extracted kmer values with cand (stable, same
+    # permutation jnp.sort would apply; sentinel slots carry garbage kn
+    # that the plan masks by n_valid)
+    cand, kn1, kn2 = jax.lax.sort(
+        (cand.reshape(T_pad, R, cap), kn1.reshape(T_pad, R, cap),
+         kn2.reshape(T_pad, R, cap)),
+        dimension=2, num_keys=1, is_stable=True)
     return PreBatchResult(cand, cnt.reshape(T_pad, R), Zf, Zb,
-                          ovf.reshape(T_pad, R).any(axis=0))
+                          ovf.reshape(T_pad, R).any(axis=0),
+                          kn1=kn1, kn2=kn2)
 
 
 # ---------------------------------------------------------------------------
