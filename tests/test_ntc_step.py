@@ -24,6 +24,22 @@ def model():
     return load_model_for_pore("rna002")
 
 
+@pytest.fixture(autouse=True)
+def _no_persistent_cache_writes():
+    """Serializing this module's shard_map executables (the largest CPU
+    programs in the suite: 8 virtual devices x interpret-mode Mosaic
+    kernels) SEGFAULTS inside jax's compilation-cache writer
+    (put_executable_and_time) when it runs late in a long single-process
+    session — reproduced twice at the same test with a fresh cache dir,
+    while the identical compile+write passes standalone. Skip the cache
+    WRITE for these compiles (reads still hit); costs a recompile per
+    cold run, instead of a flaky suite-wide crash."""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+
+
 def test_pool_ntc_params_means():
     K = 4
     pooled = NTCPooled(
