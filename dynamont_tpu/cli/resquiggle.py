@@ -63,10 +63,15 @@ def main(argv=None) -> None:
         print("provide either --tsv or both --raw and --basecalls", file=sys.stderr)
         raise SystemExit(2)
 
+    from dynamont_tpu.cli._protocol import enable_compile_cache
     from dynamont_tpu.constants import is_rna
     from dynamont_tpu.io import output as out_io
     from dynamont_tpu.io import readers
     from dynamont_tpu.models.registry import load_model_for_pore
+
+    # persistent XLA cache: without it every invocation pays the full
+    # ~20-30 s bucket-program compile (see _protocol.enable_compile_cache)
+    enable_compile_cache()
 
     rna = is_rna(args.pore)
     model = load_model_for_pore(args.pore, args.model_path)

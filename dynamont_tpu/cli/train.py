@@ -61,6 +61,9 @@ def main(argv=None) -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    from dynamont_tpu.cli._protocol import enable_compile_cache
+
+    enable_compile_cache()
 
     if args.distributed:
         from dynamont_tpu.parallel.mesh import init_distributed
