@@ -31,12 +31,20 @@ from dynamont_tpu.ops import ntc_batch as nb
 
 
 def timed(label, fn, *args, n=3):
+    import numpy as _np
+
     out = fn(*args)
     jax.block_until_ready(out)
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        r = fn(*args)
+        jax.block_until_ready(r)
+        # belt and braces: block_until_ready alone under-measured some
+        # multi-output programs on the axon backend (a 41 s pass read
+        # 0.1 ms); touch one element of every leaf on host
+        for leaf in jax.tree_util.tree_leaves(r):
+            _np.asarray(leaf).ravel()[:1]
         ts.append(time.perf_counter() - t0)
     print(f"{label}: {min(ts) * 1e3:9.1f} ms", flush=True)
     return out
